@@ -1,0 +1,179 @@
+"""Checkpointed, resumable distributed inference (north_rule: "resumable
+from a checkpointed partition manifest carrying per-partition lineage and
+metrics").
+
+Design: NO extra shuffle. The fold runs over the scan's own partitions
+(deterministic for a fixed parquet file set + maxPartitionBytes); each task
+writes its partial SchemaState to ``<dir>/states/state_<pid>.json``
+atomically (tmp + rename, idempotent under task retry). A resumed run checks
+for the state file BEFORE consuming its Arrow batches, so completed
+partitions cost an open, not a scan. The driver merges whatever states exist
+(the merge is associative — any subset is a valid partial result) and the
+manifest records lineage: input files, partition count, config fingerprint,
+per-partition row counts and timings.
+
+This improves on the reference's ``Load`` resume (jsonschema.go:178-209),
+which reconstructs lossy synthetic counts from the OUTPUT schema; we
+checkpoint the exact aggregation STATE, so resume is lossless (SURVEY.md
+§2.1 #20). A reference-parity schema-JSON loader still exists in
+plans/render.py.
+
+On a real cluster the checkpoint dir must be shared storage (HDFS/S3/...);
+in this sandbox it is a local path, which on local[N] is equivalent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import pyarrow as pa
+
+from .config import InferConfig, default_config
+from .operators import state as S
+from .operators.infer_spark import (
+    InferResult,
+    fold_batches_columnar,
+    fold_batches_json,
+    merge_states,
+)
+from .plans.render import render_schema
+
+MANIFEST = "manifest.json"
+STATES = "states"
+
+
+def config_fingerprint(config: InferConfig, mode: str, json_column) -> str:
+    key = json.dumps(
+        {
+            "formats": list(config.format_names()),
+            "predefined": dict(sorted(config.predefined.items())),
+            "max_samples": config.max_samples,
+            "version": config.schema_version,
+            "mode": mode,
+            "json_column": json_column,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _state_path(ckpt: str, pid: int) -> str:
+    return os.path.join(ckpt, STATES, f"state_{pid:06d}.json")
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)  # idempotent under task retries
+
+
+def infer_with_checkpoint(
+    df,
+    checkpoint_dir: str,
+    config: InferConfig | None = None,
+    mode: str = "columnar",
+    json_column: str | None = None,
+    _skip_partitions=None,  # test hook: simulate partitions that never finish
+):
+    """Run (or resume) a checkpointed inference. Returns (InferResult,
+    manifest dict). ``manifest['complete']`` is False when some partitions
+    have no state yet (e.g. a simulated failure) — rerunning with the same
+    checkpoint_dir folds only the missing ones."""
+    config = config or default_config()
+    if config.max_samples > 0:
+        df = df.limit(config.max_samples)
+
+    os.makedirs(os.path.join(checkpoint_dir, STATES), exist_ok=True)
+    fp = config_fingerprint(config, mode, json_column)
+    input_files = sorted(df.inputFiles())
+    n_parts = df.rdd.getNumPartitions()
+
+    mpath = os.path.join(checkpoint_dir, MANIFEST)
+    prev = None
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+        if prev["config_fingerprint"] != fp or prev["input_files"] != input_files:
+            raise ValueError(
+                "checkpoint manifest does not match this input/config; "
+                "use a fresh checkpoint_dir"
+            )
+
+    skip = set(_skip_partitions or ())
+    ckpt = checkpoint_dir
+
+    def fold(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = _state_path(ckpt, pid)
+        if os.path.exists(path):
+            return  # resume: completed partition, skip without scanning
+        if pid in skip:
+            return  # test hook: pretend this partition never finished
+        t0 = time.time()
+        if mode == "json":
+            st, rows = fold_batches_json(batches, config, json_column)
+        else:
+            st, rows = fold_batches_columnar(batches, config)
+        _atomic_write(
+            path,
+            json.dumps(
+                {
+                    "pid": pid,
+                    "rows": rows,
+                    "secs": time.time() - t0,
+                    "attempt": ctx.attemptNumber() if ctx is not None else 0,
+                    "state": S.state_to_jsonable(st),
+                }
+            ),
+        )
+        yield pa.RecordBatch.from_pydict({"pid": pa.array([pid], pa.int64())})
+
+    t0 = time.time()
+    folded_now = [
+        r.pid for r in df.mapInArrow(fold, "pid long").collect()
+    ]
+
+    # driver: read every completed state from the manifest dir
+    states, partitions = [], []
+    for fn in sorted(os.listdir(os.path.join(ckpt, STATES))):
+        with open(os.path.join(ckpt, STATES, fn)) as f:
+            rec = json.load(f)
+        states.append(S.state_from_jsonable(rec["state"]))
+        partitions.append((rec["pid"], rec["rows"], rec["secs"]))
+
+    merged = merge_states(states)
+    schema = S.finalize(merged, config)
+    result = InferResult(
+        state=merged,
+        config=config,
+        schema=schema,
+        schema_json=render_schema(schema, config.indent),
+        total_rows=sum(p[1] for p in partitions),
+        partitions=partitions,
+        wall_secs=time.time() - t0,
+    )
+
+    manifest = {
+        "config_fingerprint": fp,
+        "mode": mode,
+        "json_column": json_column,
+        "input_files": input_files,
+        "num_partitions": n_parts,
+        "completed_partitions": sorted(p[0] for p in partitions),
+        "folded_this_run": sorted(folded_now),
+        "complete": len(partitions) >= n_parts,
+        "total_rows": result.total_rows,
+        "per_partition": [
+            {"pid": p, "rows": r, "secs": round(s, 4)} for p, r, s in partitions
+        ],
+        "schema_sha256": hashlib.sha256(result.schema_json.encode()).hexdigest(),
+    }
+    _atomic_write(mpath, json.dumps(manifest, indent=2))
+    return result, manifest

@@ -1,0 +1,512 @@
+"""Distributed schema inference — the Spark-native replacement for the
+reference's sequential AddSample loop (`/root/reference/jsonschema.go:57-92`).
+
+Physical plan (SURVEY.md §4.3):
+
+    scan (parquet/iceberg, columnar Arrow batches)
+      -> mapInArrow partial fold: one SchemaState per partition
+         (vectorized per-column observation — the seqOp)
+      -> tree merge of the tiny per-partition states (the combOp,
+         SURVEY.md §2.4) — collect+reduce for small P, RDD treeReduce
+         for large P so the driver merge stays O(sqrt P)
+      -> driver finalize: predefined overrides + Go-byte-compatible render
+
+Two fold modes:
+- ``columnar`` (the 10^12-row scale path): each DataFrame row is one sample
+  document {col: value, ...}; per-column observation is fully vectorized
+  with pyarrow.compute / numpy — no per-row Python. Timestamp columns are
+  semantically strings rendered as RFC 3339 (the reference has no native
+  timestamp type — strings + format "date-time", node.go:317-327).
+- ``json``: a string column holds arbitrary nested JSON documents (e.g.
+  events.props); parsed per row inside the Arrow batch (batch-amortized,
+  the only non-vectorized fold) and folded with the exact recursive
+  ObserveValue semantics.
+
+Both produce identical SchemaState values, so merge/finalize/render are
+shared with the local oracle (tests assert byte-identical output).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import InferConfig, default_config
+from ..operators import state as S
+from ..plans.render import render_schema
+
+STATE_SCHEMA = "pid long, rows long, state string, secs double"
+
+# Collect threshold: above this many partitions use RDD treeReduce so the
+# driver never deserializes all partial states at once.
+_TREE_REDUCE_THRESHOLD = 512
+
+
+@dataclass
+class InferResult:
+    state: dict
+    config: InferConfig
+    schema: dict
+    schema_json: str
+    total_rows: int
+    partitions: list = field(default_factory=list)  # (pid, rows, secs)
+    wall_secs: float = 0.0
+
+    def render(self) -> str:
+        return self.schema_json
+
+
+def _render_ts_us(us: int) -> str:
+    """RFC 3339 rendering of epoch-microseconds, fractional part trimmed —
+    matches Go time.Time's JSON marshaling (RFC3339Nano, zeros dropped)."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(us // 1_000_000, tz=timezone.utc)
+    out = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    frac = us % 1_000_000
+    if frac:
+        out += ("." + f"{frac:06d}").rstrip("0")
+    return out + "Z"
+
+
+def _latch_const(st: dict, tag: str, value) -> None:
+    if st["const_differ"]:
+        return
+    cv = (tag, value)
+    if not st["const_set"]:
+        st["const"], st["const_set"] = cv, True
+    elif not (st["const"][0] == tag and st["const"][1] == value):
+        st["const_differ"], st["const"] = True, None
+
+
+def _const_differs(st: dict) -> None:
+    st["const_differ"], st["const"] = True, None
+
+
+def _add_distinct(st: dict, tag: str, values) -> None:
+    if st["distinct"] is None:
+        return
+    seen = {(t, v) for t, v in st["distinct"]}
+    for v in values:
+        k = (tag, v)
+        if k not in seen:
+            if len(seen) >= S.DISTINCT_LIMIT:
+                st["distinct"] = None
+                return
+            seen.add(k)
+            st["distinct"].append(k)
+
+
+def _track_range(st: dict, lo, hi) -> None:
+    if lo is None:
+        return
+    if st["num_min"] is None or lo < st["num_min"]:
+        st["num_min"] = float(lo)
+    if st["num_max"] is None or hi > st["num_max"]:
+        st["num_max"] = float(hi)
+
+
+def _track_lens(st: dict, lo, hi) -> None:
+    if lo is None:
+        return
+    if st["len_min"] is None or lo < st["len_min"]:
+        st["len_min"] = int(lo)
+    if st["len_max"] is None or hi > st["len_max"]:
+        st["len_max"] = int(hi)
+
+
+def _bounded_unique(arr: pa.Array):
+    """Unique values if they fit the distinct budget, else None."""
+    try:
+        u = pc.unique(arr)
+    except pa.ArrowNotImplementedError:
+        return None
+    if len(u) > S.DISTINCT_LIMIT + 1:
+        return None
+    return u
+
+
+def _eliminate_formats(st: dict, values: pa.Array, config: InferConfig) -> None:
+    """Candidate elimination on a batch of non-null strings (node.go:94-121),
+    vectorized: candidate survives iff it matches EVERY string in the batch."""
+    if st["fmts"] is None:
+        st["fmts"] = list(config.format_names())
+    if not st["fmts"] or len(values) == 0:
+        return
+    dm = config.detector_map()
+    pds = None
+    survivors = []
+    for name in st["fmts"]:
+        if name in st["locked_fmts"]:
+            survivors.append(name)
+            continue
+        f = dm.get(name)
+        if f is None:
+            continue
+        if pds is None:
+            import pandas as pd
+
+            pds = values.to_pandas().astype(object)
+        vec = f.vectorized
+        ok = vec(pds) if vec is not None else pds.map(f.detector)
+        if bool(np.asarray(ok, dtype=bool).all()):
+            survivors.append(name)
+    st["fmts"] = survivors
+
+
+def observe_arrow_column(
+    st: dict, arr: pa.Array, config: InferConfig, count_nulls: bool = False
+) -> None:
+    """Vectorized equivalent of calling ObserveValue once per element of
+    ``arr`` (node.go:65-151). ``count_nulls`` distinguishes array-item
+    semantics (nulls observed, node.go:124-134) from object-property
+    semantics (nulls skipped, node.go:136-149)."""
+    typ = arr.type
+    n_total = len(arr)
+    n_null = arr.null_count
+    n = n_total - n_null
+
+    if count_nulls and n_null:
+        st["n"] += n_null
+        st["types"]["null"] = st["types"].get("null", 0) + n_null
+
+    if n == 0:
+        return
+
+    if pa.types.is_boolean(typ):
+        st["n"] += n
+        st["types"]["boolean"] = st["types"].get("boolean", 0) + n
+        vals = arr.drop_null()
+        mn_mx = pc.min_max(vals)
+        mn, mx = mn_mx["min"].as_py(), mn_mx["max"].as_py()
+        if mn == mx:
+            _latch_const(st, "boolean", mn)
+        else:
+            _const_differs(st)
+        u = _bounded_unique(vals)
+        if u is None:
+            st["distinct"] = None
+        else:
+            _add_distinct(st, "boolean", u.to_pylist())
+
+    elif pa.types.is_integer(typ):
+        st["n"] += n
+        st["types"]["integer"] = st["types"].get("integer", 0) + n
+        vals = arr.drop_null()
+        mn_mx = pc.min_max(vals)
+        mn, mx = mn_mx["min"].as_py(), mn_mx["max"].as_py()
+        _track_range(st, mn, mx)
+        if mn == mx:
+            _latch_const(st, "integer", mn)
+        else:
+            _const_differs(st)
+        u = _bounded_unique(vals)
+        if u is None:
+            st["distinct"] = None
+        else:
+            _add_distinct(st, "integer", u.to_pylist())
+
+    elif pa.types.is_floating(typ):
+        st["n"] += n
+        v = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        finite = np.isfinite(v)
+        integral = np.zeros(len(v), dtype=bool)
+        integral[finite] = np.floor(v[finite]) == v[finite]
+        n_int = int(integral.sum())
+        if n_int:
+            st["types"]["integer"] = st["types"].get("integer", 0) + n_int
+        if n - n_int:
+            st["types"]["number"] = st["types"].get("number", 0) + (n - n_int)
+        nn = v[~np.isnan(v)]
+        if len(nn):
+            _track_range(st, float(nn.min()), float(nn.max()))
+        # const latch: Go float64 equality; any NaN pair differs (NaN != NaN)
+        if np.isnan(v).any():
+            if n > 1:
+                _const_differs(st)
+            else:
+                _latch_const(st, "number", float(v[0]))
+        else:
+            mn, mx = float(v.min()), float(v.max())
+            if mn == mx:
+                val = mn
+                tag = "integer" if (math.isfinite(val) and val == int(val)) else "number"
+                _latch_const(st, tag, int(val) if tag == "integer" else val)
+            else:
+                _const_differs(st)
+        if st["distinct"] is not None:
+            u = np.unique(nn)
+            if len(u) > S.DISTINCT_LIMIT + 1 or len(nn) != len(v):
+                st["distinct"] = None
+            else:
+                for val in u.tolist():
+                    tag = "integer" if val == int(val) else "number"
+                    _add_distinct(st, tag, [int(val) if tag == "integer" else val])
+
+    elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        st["n"] += n
+        st["types"]["string"] = st["types"].get("string", 0) + n
+        st["str_n"] += n
+        vals = arr.drop_null()
+        lens = pc.min_max(pc.utf8_length(vals))
+        _track_lens(st, lens["min"].as_py(), lens["max"].as_py())
+        mn_mx = pc.min_max(vals)
+        mn, mx = mn_mx["min"].as_py(), mn_mx["max"].as_py()
+        if mn == mx:
+            _latch_const(st, "string", mn)
+        else:
+            _const_differs(st)
+        u = _bounded_unique(vals)
+        if u is None:
+            st["distinct"] = None
+        else:
+            _add_distinct(st, "string", u.to_pylist())
+        if st["fmts"] is None or st["fmts"]:
+            _eliminate_formats(st, vals, config)
+
+    elif pa.types.is_timestamp(typ):
+        # semantically a string column rendered as RFC 3339 (see module doc)
+        st["n"] += n
+        st["types"]["string"] = st["types"].get("string", 0) + n
+        st["str_n"] += n
+        us = arr.cast(pa.timestamp("us")).cast(pa.int64()).drop_null()
+        v = us.to_numpy(zero_copy_only=False)
+        frac = v % 1_000_000
+        # rendered length: 20 + (1 + digits of trimmed fraction) when frac>0
+        fl = np.zeros(len(v), dtype=np.int64)
+        nonzero = frac > 0
+        fl[nonzero] = 7  # '.' + 6 digits
+        for p, keep in ((10, 6), (100, 5), (1000, 4), (10000, 3), (100000, 2)):
+            fl[nonzero & (frac % p == 0)] = keep + 1
+        lens = 20 + fl
+        if len(lens):
+            _track_lens(st, int(lens.min()), int(lens.max()))
+        mn, mx = int(v.min()), int(v.max())
+        if mn == mx:
+            _latch_const(st, "string", _render_ts_us(mn))
+        else:
+            _const_differs(st)
+        if st["distinct"] is not None:
+            u = np.unique(v)
+            if len(u) > S.DISTINCT_LIMIT + 1:
+                st["distinct"] = None
+            else:
+                _add_distinct(st, "string", [_render_ts_us(x) for x in u.tolist()])
+        # format candidates: RFC 3339 renderings match only date-time among
+        # the built-ins; with custom formats configured we must run the
+        # detectors for real (slow path) to stay exact
+        builtin = {"date-time", "email", "uuid", "ipv6", "ipv4", "uri"}
+        names = config.format_names()
+        if st["fmts"] is None:
+            st["fmts"] = list(names)
+        if st["fmts"]:
+            if all(f in builtin for f in st["fmts"]):
+                st["fmts"] = [
+                    f for f in st["fmts"] if f == "date-time" or f in st["locked_fmts"]
+                ]
+            else:
+                rendered = pa.array([_render_ts_us(x) for x in v.tolist()])
+                _eliminate_formats(st, rendered, config)
+
+    elif pa.types.is_date(typ):
+        # dates render as "YYYY-MM-DD" strings (too short for RFC 3339)
+        st["n"] += n
+        st["types"]["string"] = st["types"].get("string", 0) + n
+        st["str_n"] += n
+        days = arr.cast(pa.date32()).cast(pa.int32()).drop_null().to_numpy(
+            zero_copy_only=False
+        )
+        _track_lens(st, 10, 10)
+        mn, mx = int(days.min()), int(days.max())
+
+        def _d(x):
+            return str(np.datetime64(int(x), "D"))
+
+        if mn == mx:
+            _latch_const(st, "string", _d(mn))
+        else:
+            _const_differs(st)
+        if st["distinct"] is not None:
+            u = np.unique(days)
+            if len(u) > S.DISTINCT_LIMIT + 1:
+                st["distinct"] = None
+            else:
+                _add_distinct(st, "string", [_d(x) for x in u.tolist()])
+        if st["fmts"] is None:
+            st["fmts"] = list(config.format_names())
+        if st["fmts"]:
+            rendered = pa.array(["%s" % _d(mn)])  # all same shape; one probe
+            _eliminate_formats(st, rendered, config)
+
+    elif (
+        pa.types.is_list(typ)
+        or pa.types.is_large_list(typ)
+        or pa.types.is_fixed_size_list(typ)
+    ):
+        st["n"] += n
+        st["types"]["array"] = st["types"].get("array", 0) + n
+        _const_differs(st) if n > 0 and False else None  # arrays never touch const
+        if st["items"] is None:
+            st["items"] = S.new_state()
+        # flatten drops null lists' slots; null ELEMENTS inside lists remain
+        flat = arr.drop_null()
+        values = (
+            flat.flatten() if not pa.types.is_fixed_size_list(typ) else flat.values
+        )
+        observe_arrow_column(st["items"], values, config, count_nulls=True)
+
+    elif pa.types.is_struct(typ):
+        st["n"] += n
+        st["types"]["object"] = st["types"].get("object", 0) + n
+        for i, f in enumerate(typ):
+            child = st["props"].setdefault(f.name, S.new_state())
+            # field array carries parent nulls -> skipped, same as the
+            # null-property rule (node.go:140-147)
+            field_arr = pc.struct_field(arr, i)
+            observe_arrow_column(child, field_arr, config, count_nulls=False)
+
+    elif pa.types.is_null(typ):
+        pass  # object property never observed -> stays optional, empty type
+
+    elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        # opaque binary (multimodal payloads): no JSON equivalent; treated
+        # as string type for schema purposes, content not inspected
+        st["n"] += n
+        st["types"]["string"] = st["types"].get("string", 0) + n
+        _const_differs(st)
+        st["distinct"] = None
+    elif pa.types.is_decimal(typ):
+        observe_arrow_column(st, arr.cast(pa.float64()), config, count_nulls)
+        return
+    else:
+        raise TypeError(f"unsupported arrow type in columnar inference: {typ}")
+
+
+def fold_batches_columnar(batches, config: InferConfig) -> tuple:
+    """Partial fold: iterate Arrow batches, observe each column vectorized.
+    Returns (root_state, rows)."""
+    root = S.new_state()
+    rows = 0
+    for batch in batches:
+        nb = batch.num_rows
+        rows += nb
+        root["n"] += nb
+        root["types"]["object"] = root["types"].get("object", 0) + nb
+        for i, f in enumerate(batch.schema):
+            child = root["props"].setdefault(f.name, S.new_state())
+            observe_arrow_column(child, batch.column(i), config, count_nulls=False)
+    return root, rows
+
+
+def fold_batches_json(batches, config: InferConfig, column: str) -> tuple:
+    """Partial fold for a nested-JSON payload column: parse + recursive
+    observe per row (batch-amortized; the one place Python touches rows,
+    unavoidable for arbitrary nesting — SURVEY.md §2.1 #3)."""
+    st = S.new_state()
+    rows = 0
+    for batch in batches:
+        col = batch.column(batch.schema.get_field_index(column))
+        for s in col.to_pylist():
+            if s is None:
+                continue
+            S.observe_value(st, json.loads(s), config)
+            rows += 1
+    return st, rows
+
+
+def _make_fold(config: InferConfig, mode: str, json_column):
+    def fn(batches):
+        from pyspark import TaskContext
+
+        t0 = time.time()
+        if mode == "json":
+            st, rows = fold_batches_json(batches, config, json_column)
+        else:
+            st, rows = fold_batches_columnar(batches, config)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        yield pa.RecordBatch.from_pydict(
+            {
+                "pid": pa.array([pid], pa.int64()),
+                "rows": pa.array([rows], pa.int64()),
+                "state": pa.array([json.dumps(S.state_to_jsonable(st))]),
+                "secs": pa.array([time.time() - t0], pa.float64()),
+            }
+        )
+
+    return fn
+
+
+def merge_states(states: list) -> dict:
+    merged = None
+    for st in states:
+        merged = S.merge(merged, st)
+    return merged if merged is not None else S.new_state()
+
+
+def infer_dataframe(
+    df,
+    config: InferConfig | None = None,
+    mode: str = "columnar",
+    json_column: str | None = None,
+    num_partitions: int | None = None,
+) -> InferResult:
+    """Run distributed inference over ``df`` and finalize on the driver.
+
+    ``config.max_samples`` maps to a deterministic ``limit`` pushed into the
+    scan (SURVEY.md §2.4: the reference's order-dependent cap becomes
+    order-defined). Examples capture requires a total order and is not
+    supported in distributed mode (reference default is off,
+    jsonschema.go:33) — enable it on the local SchemaInferrer instead.
+    """
+    config = config or default_config()
+    if config.examples:
+        raise NotImplementedError(
+            "examples capture is order-dependent; use the local SchemaInferrer "
+            "or pre-sort + limit explicitly (SURVEY.md §2.4)"
+        )
+    if mode == "json" and not json_column:
+        raise ValueError("json mode requires json_column")
+
+    t0 = time.time()
+    if config.max_samples > 0:
+        df = df.limit(config.max_samples)
+    if num_partitions:
+        df = df.repartition(num_partitions)
+
+    states_df = df.mapInArrow(_make_fold(config, mode, json_column), STATE_SCHEMA)
+
+    n_parts = df.rdd.getNumPartitions() if num_partitions is None else num_partitions
+    if n_parts > _TREE_REDUCE_THRESHOLD:
+        depth = max(2, int(math.ceil(math.log(max(n_parts, 2), 64))))
+        pairs_rdd = states_df.rdd.map(
+            lambda r: (S.state_from_jsonable(json.loads(r.state)), r.rows)
+        )
+        merged, total_rows = pairs_rdd.treeReduce(
+            lambda a, b: (S.merge(a[0], b[0]), a[1] + b[1]), depth=depth
+        )
+        partitions = []
+    else:
+        rows = states_df.collect()
+        partitions = [(r.pid, r.rows, r.secs) for r in rows]
+        merged = merge_states(
+            [S.state_from_jsonable(json.loads(r.state)) for r in rows]
+        )
+        total_rows = sum(r.rows for r in rows)
+
+    schema = S.finalize(merged, config)
+    return InferResult(
+        state=merged,
+        config=config,
+        schema=schema,
+        schema_json=render_schema(schema, config.indent),
+        total_rows=total_rows,
+        partitions=partitions,
+        wall_secs=time.time() - t0,
+    )

@@ -277,6 +277,49 @@ def _copy(s: dict) -> dict:
     return out
 
 
+def state_to_jsonable(s: dict | None):
+    """Serializable form of a state (tuples -> tagged lists) for shipping
+    partial aggregates executor->driver and for the checkpoint manifest
+    (human-readable lineage, SURVEY.md §2.5 last row)."""
+    if s is None:
+        return None
+    out = {k: s[k] for k in ("types", "n", "str_n", "fmts", "locked_fmts",
+                             "const_set", "const_differ", "num_min", "num_max",
+                             "len_min", "len_max")}
+    out["const"] = list(s["const"]) if s["const"] is not None else None
+    out["first"] = (
+        [list(s["first"][0]) if isinstance(s["first"][0], tuple) else s["first"][0],
+         s["first"][1]]
+        if s["first"] is not None
+        else None
+    )
+    out["distinct"] = (
+        None if s["distinct"] is None else [list(tv) for tv in s["distinct"]]
+    )
+    out["items"] = state_to_jsonable(s["items"])
+    out["props"] = {k: state_to_jsonable(v) for k, v in s["props"].items()}
+    return out
+
+
+def state_from_jsonable(d) -> dict | None:
+    if d is None:
+        return None
+    s = new_state()
+    for k in ("types", "n", "str_n", "fmts", "locked_fmts", "const_set",
+              "const_differ", "num_min", "num_max", "len_min", "len_max"):
+        s[k] = d[k]
+    s["const"] = tuple(d["const"]) if d["const"] is not None else None
+    if d["first"] is not None:
+        key = d["first"][0]
+        s["first"] = (tuple(key) if isinstance(key, list) else key, d["first"][1])
+    s["distinct"] = (
+        None if d["distinct"] is None else [tuple(tv) for tv in d["distinct"]]
+    )
+    s["items"] = state_from_jsonable(d["items"])
+    s["props"] = {k: state_from_jsonable(v) for k, v in d["props"].items()}
+    return s
+
+
 def get_primary_type(state: dict) -> str:
     """Most frequent observed type (node.go:231-243).
 

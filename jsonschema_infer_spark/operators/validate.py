@@ -1,0 +1,365 @@
+"""Constraint compilation + vectorized validation.
+
+The reference plans but never implements validation
+(`/root/reference/FEATURES.md:172-174`); the north_rule mandates it. The
+inferred schema (plus the SchemaState's constraint-mining extensions) is
+compiled into built-in Spark Column predicates — NO per-row Python anywhere
+(input_hint mandate): every check is a Catalyst expression eligible for
+whole-stage codegen, predicate pushdown and column pruning.
+
+Check taxonomy (SURVEY.md §2.5):
+- row checks: required non-null, format regex, const equality, enum
+  membership, numeric range, string length — compiled per column;
+- key checks: uniqueness on (conv_id, turn_idx) — groupBy partial-agg
+  (map-side combine; skew-tolerant) + semi-join for violating rows;
+- ordering checks: dense turn_idx 0..n-1 per conv via pure aggregation
+  (min/max/count/count_distinct — no window, no skew problem), plus ts
+  monotonicity via a per-conv window (bounded group: a conversation's
+  length is bounded, so the window never sees a pathological partition);
+- per-partition verdicts over a deterministic bucket of conv_id (stable
+  lineage for the checkpoint manifest).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+# --- format name -> Spark-side regex (JVM rlike; approximations are exact on
+# the subsets the corresponding Python detectors accept — property-tested)
+
+RX_EMAIL = r"^[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}$"
+RX_UUID = (
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[1-5][0-9a-fA-F]{3}"
+    r"-[89abAB][0-9a-fA-F]{3}-[0-9a-fA-F]{12}$"
+)
+RX_IPV4 = r"^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"
+# RFC 4291 textual forms incl. '::' compression and embedded IPv4 tail
+_V4 = RX_IPV4[1:-1]
+RX_IPV6 = (
+    r"^("
+    r"([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+    r"|([0-9A-Fa-f]{1,4}:){6}" + _V4
+    + r"|([0-9A-Fa-f]{1,4}:){1,5}:" + _V4
+    + r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4})?:" + _V4
+    + r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){0,2}:" + _V4
+    + r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){0,3}:" + _V4
+    + r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){0,4}:" + _V4
+    + r"|:((:[0-9A-Fa-f]{1,4}){0,5}:" + _V4 + r"|:" + _V4 + r")"
+    + r")$"
+)
+RX_DATETIME = (
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+)
+RX_URI = r"^(https?|ftps?)://([^/?#\s]*@)?[^/?#@\s:][^/?#\s]*.*$"
+
+
+def format_predicate(col: Column, fmt: str, dtype=None) -> Column | None:
+    """True iff the (non-null) value conforms to ``fmt``. Returns None when
+    the format has no Spark-side check (unknown custom format)."""
+    if fmt == "date-time":
+        if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
+            return F.lit(True)  # a temporal column is RFC 3339 by rendering
+        return col.rlike(RX_DATETIME) & F.try_to_timestamp(col).isNotNull()
+    if fmt == "email":
+        return col.rlike(RX_EMAIL)
+    if fmt == "uuid":
+        return col.rlike(RX_UUID)
+    if fmt == "ipv4":
+        return col.rlike(RX_IPV4)
+    if fmt == "ipv6":
+        return col.rlike(RX_IPV6)
+    if fmt == "uri":
+        return col.rlike(RX_URI)
+    return None
+
+
+@dataclass
+class Constraint:
+    name: str  # e.g. "required:role", "format:ts:date-time"
+    column: str
+    kind: str  # required | format | const | enum | range | length
+    predicate: Column  # True = row conforms (nulls pass unless required)
+
+
+def compile_constraints(
+    schema: dict,
+    state: dict | None = None,
+    df: DataFrame | None = None,
+    enum_max: int = 16,
+    with_ranges: bool = False,
+    with_lengths: bool = False,
+    custom_predicates: dict | None = None,
+) -> list:
+    """Compile a root object schema (finalize() output) into row constraints.
+
+    ``state`` supplies the mined extensions (enum candidates, numeric and
+    length ranges — reference roadmap FEATURES.md:72-94). Range/length checks
+    default off: inferred bounds describe the sample, future rows may
+    legitimately exceed them; enable explicitly for frozen snapshots.
+    """
+    if schema.get("type") != "object":
+        raise ValueError("row validation requires an object root schema")
+    out: list = []
+    df_fields = {f.name: f.dataType for f in df.schema.fields} if df is not None else {}
+    required = set(schema.get("required") or [])
+    nullsafe = lambda c, p: c.isNull() | p  # noqa: E731
+
+    for name, prop in (schema.get("properties") or {}).items():
+        col = F.col(name)
+        if name in required:
+            out.append(
+                Constraint(f"required:{name}", name, "required", col.isNotNull())
+            )
+        fmt = prop.get("format")
+        if fmt:
+            pred = format_predicate(col, fmt, df_fields.get(name))
+            if pred is None and custom_predicates and fmt in custom_predicates:
+                pred = custom_predicates[fmt](col)
+            if pred is not None:
+                out.append(
+                    Constraint(
+                        f"format:{name}:{fmt}", name, "format", nullsafe(col, pred)
+                    )
+                )
+        if "const" in prop:
+            out.append(
+                Constraint(
+                    f"const:{name}",
+                    name,
+                    "const",
+                    nullsafe(col, col == F.lit(prop["const"])),
+                )
+            )
+        st = (state or {}).get("props", {}).get(name) if state else None
+        if st is not None:
+            if (
+                st["distinct"] is not None
+                and 0 < len(st["distinct"]) <= enum_max
+                and "const" not in prop
+                and prop.get("type") in ("string", "integer", "boolean")
+            ):
+                values = [v for _, v in st["distinct"]]
+                out.append(
+                    Constraint(
+                        f"enum:{name}", name, "enum", nullsafe(col, col.isin(values))
+                    )
+                )
+            if with_ranges and st["num_min"] is not None:
+                out.append(
+                    Constraint(
+                        f"range:{name}",
+                        name,
+                        "range",
+                        nullsafe(col, col.between(st["num_min"], st["num_max"])),
+                    )
+                )
+            if with_lengths and st["len_min"] is not None:
+                out.append(
+                    Constraint(
+                        f"length:{name}",
+                        name,
+                        "length",
+                        nullsafe(
+                            col, F.length(col).between(st["len_min"], st["len_max"])
+                        ),
+                    )
+                )
+    return out
+
+
+def violations(df: DataFrame, constraints: list, keep_cols: list | None = None) -> DataFrame:
+    """Rows failing >=1 constraint, with the failed constraint names.
+
+    One vectorized scan: every predicate is a Column, combined with
+    array_compact(array(when(...))) — whole-stage-codegen friendly."""
+    flags = [
+        F.when(~c.predicate, F.lit(c.name)).otherwise(F.lit(None))
+        for c in constraints
+    ]
+    cols = keep_cols if keep_cols is not None else df.columns
+    out = df.select(
+        *cols, F.array_compact(F.array(*flags)).alias("violations")
+    )
+    return out.filter(F.size("violations") > 0)
+
+
+def violation_counts(df: DataFrame, constraints: list) -> DataFrame:
+    """Per-constraint violation counts in ONE aggregation pass (no explode):
+    count(when(not pred)) per constraint, unpivoted to (constraint, n)."""
+    aggs = [
+        F.count(F.when(~c.predicate, F.lit(1))).alias(c.name) for c in constraints
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c.name}', `{c.name}`" for c in constraints)
+    return wide.selectExpr(
+        f"stack({len(constraints)}, {stack}) as (constraint, violation_count)"
+    )
+
+
+# --- key uniqueness (SURVEY.md §2.5) -----------------------------------------
+
+
+def duplicate_keys(df: DataFrame, keys: list) -> DataFrame:
+    """Keys appearing more than once. groupBy = map-side partial agg; at
+    10^12 rows this shuffles only (key, count) pairs. AQE splits skewed
+    reducers; the heavy-hitter keys themselves are exactly what we report."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def duplicate_rows(df: DataFrame, keys: list) -> DataFrame:
+    """Full violating rows via LEFT SEMI join against the duplicate keys —
+    the small side is duplicates-only, so Spark broadcasts it."""
+    dups = duplicate_keys(df, keys).select(*keys)
+    return df.join(F.broadcast(dups), on=keys, how="left_semi")
+
+
+# --- referential turn-ordering (SURVEY.md §2.5) --------------------------------
+
+
+def turn_ordering_violations(
+    df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx"
+) -> DataFrame:
+    """Conversations whose turn_idx is not dense 0..n-1.
+
+    Pure aggregation — no window, no sort: dense 0..n-1 holds iff
+    min==0 AND max==n_distinct-1 AND n_distinct==n (duplicates counted by
+    n != n_distinct). Partial aggregation combines map-side, so hot
+    conversations cost one reducer row each, not a sort of their turns."""
+    g = df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(idx_col).alias("min_idx"),
+        F.max(idx_col).alias("max_idx"),
+        F.count_distinct(F.col(idx_col)).alias("n_distinct"),
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("min_idx") != 0, F.lit("nonzero_start")),
+            F.when(
+                F.col("max_idx") != F.col("n_distinct") - 1, F.lit("gap")
+            ),
+            F.when(F.col("n_distinct") != F.col("n_turns"), F.lit("dup_turn")),
+        )
+    )
+    return (
+        g.withColumn("reasons", reasons)
+        .filter(F.size("reasons") > 0)
+        .select(conv_col, "n_turns", "min_idx", "max_idx", "n_distinct", "reasons")
+    )
+
+
+def ts_regressions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Turns whose ts is not strictly after the previous turn's ts.
+
+    Uses a per-conversation window ordered by turn_idx. Conversation length
+    is bounded (it is a dialog), so each window group is small — the shuffle
+    distributes GROUPS, and skew in #turns-per-conv stays bounded; this is
+    the one ordering check that genuinely needs sequence order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev = F.lag(ts_col).over(w)
+    return (
+        df.select(conv_col, idx_col, ts_col, prev.alias("prev_ts"))
+        .filter(F.col("prev_ts").isNotNull() & (F.col(ts_col) <= F.col("prev_ts")))
+    )
+
+
+# --- column stats (reference roadmap FEATURES.md:177-186) ----------------------
+
+
+def column_stats(df: DataFrame, columns: list | None = None) -> DataFrame:
+    """One-pass per-column profile: count, nulls, approx distinct, min/max
+    (as strings), mean/stddev for numerics, length min/max for strings.
+    Single agg job -> one tiny row, exploded into (column, ...) rows."""
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    numeric = {
+        c
+        for c in cols
+        if dtypes[c] in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dtypes[c].startswith("decimal")
+    }
+    stringy = {c for c in cols if dtypes[c] in ("string", "varchar")}
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.count(F.when(col.isNull(), 1)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(col).alias(f"{c}__approx_distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            (F.avg(col) if c in numeric else F.lit(None)).alias(f"{c}__mean"),
+            (F.stddev(col) if c in numeric else F.lit(None)).alias(f"{c}__stddev"),
+            (F.min(F.length(col)) if c in stringy else F.lit(None)).alias(
+                f"{c}__len_min"
+            ),
+            (F.max(F.length(col)) if c in stringy else F.lit(None)).alias(
+                f"{c}__len_max"
+            ),
+        ]
+    wide = df.agg(*aggs)
+    fields = [
+        "n", "nulls", "approx_distinct", "min", "max", "mean", "stddev",
+        "len_min", "len_max",
+    ]
+    parts = []
+    for c in cols:
+        struct = ", ".join(
+            [f"'{c}'"]
+            + [
+                f"cast(`{c}__{fname}` as {'string' if fname in ('min', 'max') else 'double'})"
+                for fname in fields
+            ]
+        )
+        parts.append(f"({struct})")
+    stack = f"stack({len(cols)}, {', '.join(p[1:-1] for p in parts)})"
+    return wide.selectExpr(
+        f"{stack} as (column, n, nulls, approx_distinct, min, max, mean, stddev, len_min, len_max)"
+    )
+
+
+# --- per-partition verdicts (north_rule) ---------------------------------------
+
+
+def partition_verdicts(
+    df: DataFrame,
+    constraints: list,
+    bucket_col: str = "conv_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Pass/fail per deterministic bucket of ``bucket_col`` (stable across
+    runs and cluster sizes — xxhash64 buckets, not physical partitions, so
+    the manifest's lineage is reproducible). One aggregation pass."""
+    bucket = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(num_buckets)).alias(
+        "bucket"
+    )
+    aggs = [F.count(F.lit(1)).alias("rows")] + [
+        F.count(F.when(~c.predicate, 1)).alias(c.name) for c in constraints
+    ]
+    g = df.groupBy(bucket).agg(*aggs)
+    total_viol = sum(F.col(c.name) for c in constraints) if constraints else F.lit(0)
+    return g.withColumn("violation_total", total_viol).withColumn(
+        "passed", F.col("violation_total") == 0
+    )

@@ -1,0 +1,121 @@
+"""Distributed inference: Spark fold must byte-match the sequential local
+oracle under hostile partitionings (SURVEY.md §5.2 item 2 — the distributed
+analogue of the reference's concurrency tests jsonschema_test.go:775-885)."""
+
+import json
+from datetime import timezone
+
+import pyarrow.parquet as pq
+import pytest
+
+from jsonschema_infer_spark import SchemaInferrer
+from jsonschema_infer_spark.operators.infer_spark import (
+    _render_ts_us,
+    infer_dataframe,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def local_oracle_rows(table) -> str:
+    """Sequential fold of the table's rows as JSON-ish documents, timestamps
+    rendered RFC 3339 — the ground truth the columnar fold must match."""
+    g = SchemaInferrer()
+    for row in table.to_pylist():
+        d = dict(row)
+        for k, v in d.items():
+            if hasattr(v, "timestamp"):  # datetime
+                us = int(v.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+                d[k] = _render_ts_us(us)
+        g.add_parsed_sample(d)
+    return g.generate()
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 8])
+def test_columnar_matches_local_oracle_events(spark, nparts):
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    res = infer_dataframe(df, num_partitions=nparts)
+    expected = local_oracle_rows(pq.read_table(f"{SF}/events.parquet"))
+    assert res.schema_json == expected
+    assert res.total_rows == 1000
+
+
+@pytest.mark.parametrize(
+    "table", ["lineitem", "orders", "customer", "documents", "embeddings"]
+)
+def test_columnar_matches_local_oracle_all_tables(spark, table):
+    df = spark.read.parquet(f"{SF}/{table}.parquet")
+    res = infer_dataframe(df, num_partitions=4)
+    expected = local_oracle_rows(pq.read_table(f"{SF}/{table}.parquet"))
+    assert res.schema_json == expected
+
+
+def test_json_mode_matches_local_oracle(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    res = infer_dataframe(df, mode="json", json_column="props", num_partitions=5)
+    g = SchemaInferrer()
+    for s in pq.read_table(f"{SF}/events.parquet").column("props").to_pylist():
+        g.add_sample(s)
+    assert res.schema_json == g.generate()
+
+
+def test_transcript_schema_shape(spark, tx_paths):
+    df = spark.read.parquet(tx_paths["clean"])
+    res = infer_dataframe(df, num_partitions=6)
+    s = res.schema
+    assert s["type"] == "object"
+    assert sorted(s["properties"]) == [
+        "conv_id", "role", "text", "tool", "ts", "turn_idx",
+    ]
+    assert s["properties"]["ts"] == {"type": "string", "format": "date-time"}
+    assert s["properties"]["turn_idx"]["type"] == "integer"
+    # tool is null unless role='tool' -> optional
+    assert "tool" not in s["required"]
+    assert set(s["required"]) == {"conv_id", "role", "text", "ts", "turn_idx"}
+    # mined extensions: role enum bounded, turn_idx range present
+    role_state = res.state["props"]["role"]
+    assert {v for _, v in role_state["distinct"]} == {
+        "user", "assistant", "system", "tool",
+    }
+    idx_state = res.state["props"]["turn_idx"]
+    assert idx_state["num_min"] == 0
+
+
+def test_max_samples_limit(spark):
+    from jsonschema_infer_spark.config import default_config
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    res = infer_dataframe(df, config=default_config(max_samples=100))
+    assert res.total_rows == 100
+
+
+def test_examples_rejected_in_distributed_mode(spark):
+    from jsonschema_infer_spark.config import default_config
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    with pytest.raises(NotImplementedError):
+        infer_dataframe(df, config=default_config(examples=True))
+
+
+def test_checkpoint_resume(spark, tx_paths, tmp_path):
+    from jsonschema_infer_spark.checkpoint import infer_with_checkpoint
+
+    df = spark.read.parquet(tx_paths["clean"])
+    full = infer_dataframe(df)
+    ck = str(tmp_path / "ck")
+
+    r1, m1 = infer_with_checkpoint(df, ck, _skip_partitions={0})
+    assert not m1["complete"]
+    r2, m2 = infer_with_checkpoint(df, ck)
+    assert m2["complete"]
+    assert 0 in m2["folded_this_run"]
+    assert r2.schema_json == full.schema_json
+    assert r2.total_rows == full.total_rows
+    # idempotent third run folds nothing
+    r3, m3 = infer_with_checkpoint(df, ck)
+    assert m3["folded_this_run"] == []
+    # config change is rejected
+    from jsonschema_infer_spark.config import default_config, DRAFT06
+
+    with pytest.raises(ValueError):
+        infer_with_checkpoint(df, ck, config=default_config(schema_version=DRAFT06))

@@ -1,0 +1,111 @@
+"""Validation operators vs the exact injection oracle (FIXTURES.md §A)."""
+
+import pytest
+
+from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+from jsonschema_infer_spark.operators import validate as V
+
+
+@pytest.fixture(scope="module")
+def compiled(spark, tx_paths):
+    clean = spark.read.parquet(tx_paths["clean"])
+    viol = spark.read.parquet(tx_paths["viol"])
+    res = infer_dataframe(clean, num_partitions=4)
+    cons = V.compile_constraints(res.schema, state=res.state, df=viol)
+    return res, cons, clean, viol, tx_paths["log"]
+
+
+def test_row_constraint_counts_match_injections(compiled):
+    res, cons, clean, viol, log = compiled
+    counts = {
+        r.constraint: r.violation_count
+        for r in V.violation_counts(viol, cons).collect()
+    }
+    assert counts["required:role"] == len(log["null_role_rows"])
+    assert counts["required:text"] == len(log["null_text_rows"])
+    assert counts["enum:role"] == len(log["bad_role_rows"])
+    # clean columns stay clean
+    assert counts["required:conv_id"] == 0
+    assert counts["format:ts:date-time"] == 0
+
+
+def test_violation_rows_carry_reasons(compiled):
+    res, cons, clean, viol, log = compiled
+    rows = V.violations(viol, cons, keep_cols=["conv_id", "turn_idx", "role"]).collect()
+    by_reason = {}
+    for r in rows:
+        for v in r.violations:
+            by_reason.setdefault(v, set()).add((r.conv_id, r.turn_idx))
+    assert by_reason["enum:role"] == set(map(tuple, log["bad_role_rows"]))
+    assert by_reason["required:role"] == set(map(tuple, log["null_role_rows"]))
+
+
+def test_clean_table_passes_all(compiled):
+    res, cons, clean, viol, log = compiled
+    assert V.violations(clean, cons).count() == 0
+    verd = V.partition_verdicts(clean, cons, num_buckets=16)
+    assert verd.filter("NOT passed").count() == 0
+
+
+def test_duplicate_keys_match_injections(compiled):
+    res, cons, clean, viol, log = compiled
+    dups = {
+        (r.conv_id, r.turn_idx)
+        for r in V.duplicate_keys(viol, ["conv_id", "turn_idx"]).collect()
+    }
+    assert dups == set(map(tuple, log["dup_keys"]))
+    # duplicate_rows returns 2 rows per duplicated key
+    assert V.duplicate_rows(viol, ["conv_id", "turn_idx"]).count() == 2 * len(dups)
+    assert V.duplicate_keys(clean, ["conv_id", "turn_idx"]).count() == 0
+
+
+def test_turn_ordering_matches_injections(compiled):
+    res, cons, clean, viol, log = compiled
+    got = {r.conv_id: list(r.reasons) for r in V.turn_ordering_violations(viol).collect()}
+    expected_convs = (
+        set(log["gap_convs"])
+        | set(log["shift_convs"])
+        | {c for c, _ in log["dup_keys"]}
+    )
+    assert set(got) == expected_convs
+    for c in log["gap_convs"]:
+        assert "gap" in got[c]
+    for c in log["shift_convs"]:
+        assert "nonzero_start" in got[c]
+    for c, _ in log["dup_keys"]:
+        assert "dup_turn" in got[c]
+    assert V.turn_ordering_violations(clean).count() == 0
+
+
+def test_ts_regressions_match_injections(compiled):
+    res, cons, clean, viol, log = compiled
+    got_convs = {r.conv_id for r in V.ts_regressions(viol).collect()}
+    # injected regressions, plus duplicated turns (equal ts -> not strictly
+    # increasing) — both are genuine ordering violations
+    expected = set(log["ts_regression_convs"]) | {c for c, _ in log["dup_keys"]}
+    assert got_convs == expected
+    assert V.ts_regressions(clean).count() == 0
+
+
+def test_column_stats(compiled):
+    res, cons, clean, viol, log = compiled
+    stats = {r.column: r for r in V.column_stats(clean).collect()}
+    n = clean.count()
+    assert stats["conv_id"].n == n and stats["conv_id"].nulls == 0
+    assert stats["turn_idx"].min == "0"
+    assert stats["tool"].nulls > 0
+    assert stats["text"].len_min == 0.0  # empty strings exist (p=0.01)
+    assert stats["turn_idx"].mean is not None
+
+
+def test_partition_verdicts_deterministic(compiled):
+    res, cons, clean, viol, log = compiled
+    v1 = sorted(
+        (r.bucket, r.rows, r.violation_total)
+        for r in V.partition_verdicts(viol, cons, num_buckets=16).collect()
+    )
+    v2 = sorted(
+        (r.bucket, r.rows, r.violation_total)
+        for r in V.partition_verdicts(viol.repartition(13), cons, num_buckets=16).collect()
+    )
+    assert v1 == v2  # buckets are content-hash based, not physical partitions
