@@ -1,0 +1,58 @@
+"""Drift checks across two snapshots (FIXTURES.md §C contract): role chi2
+and both KS checks must reject at alpha=0.01; tool chi2 must NOT reject
+(false-positive guard)."""
+
+import pytest
+
+from jsonschema_infer_spark.operators.drift import (
+    categorical_drift,
+    numeric_drift,
+    transcript_drift_report,
+)
+from jsonschema_infer_spark.sources.transcripts import generate_transcripts, write_parquet
+
+
+@pytest.fixture(scope="module")
+def snaps(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("snaps")
+    base = generate_transcripts(3000, seed=42)
+    shifted = generate_transcripts(3000, seed=43, shifted=True)
+    pa_, pb_ = str(d / "snap_base.parquet"), str(d / "snap_shifted.parquet")
+    write_parquet(base, pa_)
+    write_parquet(shifted, pb_)
+    return spark.read.parquet(pa_), spark.read.parquet(pb_)
+
+
+def test_transcript_drift_contract(snaps):
+    a, b = snaps
+    rep = transcript_drift_report(a, b, alpha=0.01)
+    assert rep["role_chi2"]["drifted"], rep["role_chi2"]
+    assert rep["text_len_ks"]["drifted"], rep["text_len_ks"]
+    assert rep["ts_delta_ks"]["drifted"], rep["ts_delta_ks"]
+    assert not rep["tool_chi2"]["drifted"], rep["tool_chi2"]  # FP guard
+
+
+def test_no_drift_between_identical_seeds(spark, snaps):
+    a, _ = snaps
+    rep = transcript_drift_report(a, a, alpha=0.01)
+    for k in ("role_chi2", "tool_chi2", "text_len_ks", "ts_delta_ks"):
+        assert not rep[k]["drifted"], (k, rep[k])
+        assert rep[k]["p_value"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hist_mode_agrees_with_exact(snaps):
+    from pyspark.sql import functions as F
+
+    a, b = snaps
+    exact = numeric_drift(a, b, F.length("text"), mode="exact")
+    hist = numeric_drift(a, b, F.length("text"), mode="hist", bins=512)
+    assert hist["d"] == pytest.approx(exact["d"], abs=0.02)
+    assert hist["drifted"] if "drifted" in hist else hist["p_value"] < 0.01
+
+
+def test_categorical_drift_detects_reweighting(snaps):
+    a, b = snaps
+    r = categorical_drift(a, b, "role")
+    assert r["p_value"] < 1e-6
+    same = categorical_drift(a, a, "role")
+    assert same["statistic"] == pytest.approx(0.0)
