@@ -1,38 +1,654 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full inference->constraint-compile->validate run
+                over sf0.001 events, returning the per-constraint report.
+queries()     — one entry per implemented operator family (SURVEY.md §2):
+                schema-validation checks, relational coverage (joins,
+                aggregations, windows, rollup, set ops, anti-join, top-k),
+                and training-data ops (dedup, text analysis, similarity).
+oracle_sql()  — DuckDB-runnable ANSI SQL twins with identical column names
+                and deterministic values (ints, exact decimal sums cast to
+                double, or floats rounded to 4 before compare). Entries
+                whose semantics DuckDB cannot express (inference itself,
+                LSH candidates, pandas-UDF features) are omitted -> the
+                driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str):
+    out = [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+    return out[0] if len(out) == 1 else out
+
+
+# --------------------------------------------------------------------------
+# entry: flagship — infer schema of events, compile constraints, validate
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+    from jsonschema_infer_spark.operators import validate as V
+
+    df = _load(spark, "/root/testdata/sf0.001", "events")
+    res = infer_dataframe(df, num_partitions=4)
+    cons = V.compile_constraints(res.schema, state=res.state, df=df)
+    return V.violation_counts(df, cons)
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+
+def q_events_column_stats(spark, sf_dir):
+    df = _load(spark, sf_dir, "events")
+    aggs = []
+    for c in df.columns:
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(F.col(c)).alias("n"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias("nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+            )
+        )
+    return (
+        df.agg(F.array(*aggs).alias("a"))
+        .select(F.explode("a").alias("s"))
+        .select("s.column", "s.n", "s.nulls", "s.n_distinct")
+    )
+
+
+SQL_EVENTS_COLUMN_STATS = " UNION ALL ".join(
+    f"SELECT '{c}' AS column, count({c}) AS n, "
+    f"count(*) - count({c}) AS nulls, count(DISTINCT {c}) AS n_distinct FROM events"
+    for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+)
+
+
+def q_events_uniqueness(spark, sf_dir):
+    from jsonschema_infer_spark.operators.validate import duplicate_keys
+
+    return duplicate_keys(_load(spark, sf_dir, "events"), ["event_id"]).select(
+        F.col("event_id"), F.col("dup_count")
+    )
+
+
+SQL_EVENTS_UNIQUENESS = (
+    "SELECT event_id, count(*) AS dup_count FROM events "
+    "GROUP BY event_id HAVING count(*) > 1"
+)
+
+
+def q_events_type_profile(spark, sf_dir):
+    df = _load(spark, sf_dir, "events")
+    return df.groupBy(F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+SQL_EVENTS_TYPE_PROFILE = (
+    "SELECT event_type, count(*) AS n, min(value) AS min_value, "
+    "max(value) AS max_value, min(ts) AS min_ts, max(ts) AS max_ts, "
+    "count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+)
+
+
+def q_events_props_json(spark, sf_dir):
+    df = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return df.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(k).alias("n_k"),
+    )
+
+
+SQL_EVENTS_PROPS_JSON = (
+    "SELECT event_type, min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, "
+    "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k, "
+    "count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k "
+    "FROM events GROUP BY event_type"
+)
+
+
+def q_events_user_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    df = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(
+        F.col("ts").cast("timestamp").cast("double")
+    ).over(w)
+    marked = df.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 3600), 1).otherwise(0).alias("new_session"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_session").alias("n_sessions"),
+        )
+        .filter(F.col("n_events") >= 10)
+    )
+
+
+SQL_EVENTS_USER_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+FROM g GROUP BY user_id HAVING count(*) >= 10
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    df = _load(spark, sf_dir, "events")
+    return df.groupBy(F.date_trunc("HOUR", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_EVENTS_HOURLY = (
+    "SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1"
+)
+
+
+# --- relational coverage -----------------------------------------------------
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    df = _load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(14,2)")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(5,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_revenue_topk(spark, sf_dir):
+    cust, orders, li = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1).cast("decimal(5,2)") - F.col("l_discount").cast("decimal(5,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT o_orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    region, nation, cust, orders = _load(
+        spark, sf_dir, "region", "nation", "customer", "orders"
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(16,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    cust, orders = _load(spark, sf_dir, "customer", "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(16,2)"))
+            .cast("double")
+            .alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE) AS total_spent,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name ORDER BY total_spent DESC, c_custkey LIMIT 10
+"""
+
+
+def q_orders_rollup(spark, sf_dir):
+    df = _load(spark, sf_dir, "orders")
+    return (
+        df.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "n")
+    )
+
+
+SQL_ORDERS_ROLLUP = (
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+    "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+)
+
+
+def q_best_order_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("best_price"))
+    )
+
+
+SQL_BEST_ORDER = """
+SELECT o_custkey, o_orderkey, o_totalprice AS best_price FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+def q_segment_intersect(spark, sf_dir):
+    cust, orders = _load(spark, sf_dir, "customer", "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    having_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    return rich.intersect(having_orders)
+
+
+SQL_SEGMENT_INTERSECT = (
+    "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000 "
+    "INTERSECT SELECT o_custkey AS custkey FROM orders"
+)
+
+
+def q_unreferenced_parts(spark, sf_dir):
+    part, li = _load(spark, sf_dir, "part", "lineitem")
+    return part.join(
+        li.select(F.col("l_partkey").alias("p_partkey")).distinct(),
+        "p_partkey",
+        "left_anti",
+    ).select("p_partkey", "p_name")
+
+
+SQL_UNREFERENCED_PARTS = (
+    "SELECT p_partkey, p_name FROM part WHERE NOT EXISTS "
+    "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"
+)
+
+
+def q_customers_per_nation(spark, sf_dir):
+    region, nation, cust = _load(spark, sf_dir, "region", "nation", "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_CUSTOMERS_PER_NATION = """
+SELECT n_name, r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey GROUP BY n_name, r_name
+"""
+
+
+# --- training-data ops ---------------------------------------------------------
+
+
+def q_docs_token_stats(spark, sf_dir):
+    from jsonschema_infer_spark.operators.text import bpe_ish_token_count, token_count
+
+    df = _load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_DOCS_TOKEN_STATS = """
+SELECT doc_id, length(text) AS chars,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_docs_quality(spark, sf_dir):
+    from jsonschema_infer_spark.operators.text import quality_features
+
+    df = _load(spark, sf_dir, "documents")
+    return quality_features(df, "text", keep=["doc_id"]).select(
+        "doc_id", "n_tokens", "punct_ratio", "alpha_ratio", "stopword_ratio"
+    )
+
+
+SQL_DOCS_QUALITY = """
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+  round(CASE WHEN length(text) > 0 THEN
+    (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) * 1.0 / length(text)
+    ELSE 0 END, 4) AS punct_ratio,
+  round(CASE WHEN length(text) > 0 THEN
+    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text)
+    ELSE 0 END, 4) AS alpha_ratio,
+  round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0 THEN
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|with)\\b')) * 1.0
+      / (CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+    ELSE 0 END, 4) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_docs_langid(spark, sf_dir):
+    from jsonschema_infer_spark.operators.text import lang_id
+
+    df = _load(spark, sf_dir, "documents")
+    return df.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _sql_hits(lang_words):
+    pat = "\\b(" + "|".join(lang_words) + ")\\b"  # -> \b(...)\b in the SQL text
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+SQL_DOCS_LANGID = f"""
+WITH h AS (
+  SELECT doc_id,
+    {_sql_hits(['the','and','of','to','is','in','that','with'])} AS en,
+    {_sql_hits(['le','la','les','et','est','une','dans','que'])} AS fr,
+    {_sql_hits(['der','die','und','ist','das','ein','nicht','mit'])} AS de,
+    {_sql_hits(['el','la','los','y','es','una','que','con'])} AS es
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(en, fr, de, es) <= 0 THEN 'und'
+       WHEN es > de AND es > fr AND es > en THEN 'es'
+       WHEN de > fr AND de > en THEN 'de'
+       WHEN fr > en THEN 'fr'
+       ELSE 'en' END AS lang_guess
+FROM h
+"""
+
+
+def q_docs_exact_dedup(spark, sf_dir):
+    from jsonschema_infer_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_load(spark, sf_dir, "documents")).select(
+        "fp", "group_size", "keep_id"
+    )
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       count(*) AS group_size, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_docs_top_jaccard(spark, sf_dir):
+    from jsonschema_infer_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = _load(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_freq=10**9)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(10)
+    )
+
+
+SQL_DOCS_TOP_JACCARD = """
+WITH sh AS (
+  SELECT doc_id AS id, sh.shingle AS shingle
+  FROM documents,
+  LATERAL (
+    SELECT DISTINCT unnest(list_transform(
+      generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), i, i + 2), ' ')
+    )) AS shingle
+  ) sh
+  WHERE len(string_split(sh.shingle, ' ')) = 3
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+ORDER BY jaccard DESC, id_a, id_b LIMIT 10
+"""
+
+
+def q_embeddings_topk(spark, sf_dir):
+    from jsonschema_infer_spark.operators.similarity import cosine_topk
+
+    df = _load(spark, sf_dir, "embeddings")
+    qvec = df.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(df.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+SQL_EMBEDDINGS_TOPK = """
+SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embeddings_label_profile(spark, sf_dir):
+    df = _load(spark, sf_dir, "embeddings")
+    return df.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("vec_id").alias("n_vecs"),
+        F.min(F.size("embedding")).alias("dim_min"),
+        F.max(F.size("embedding")).alias("dim_max"),
+    )
+
+
+SQL_EMBEDDINGS_LABEL_PROFILE = (
+    "SELECT label, count(*) AS n, count(DISTINCT vec_id) AS n_vecs, "
+    "min(len(embedding)) AS dim_min, max(len(embedding)) AS dim_max "
+    "FROM embeddings GROUP BY label"
+)
+
+
+# --- rows-only entries (no SQL equivalent; driver records weaker check) --------
+
+
+def q_infer_events_schema(spark, sf_dir):
+    """Inference itself: property list of the inferred schema (DuckDB cannot
+    express the type-lattice fold -> rows-only check)."""
+    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+
+    df = _load(spark, sf_dir, "events")
+    res = infer_dataframe(df, num_partitions=8)
+    props = res.schema.get("properties", {})
+    required = set(res.schema.get("required", []))
+    rows = [
+        (
+            name,
+            str(p.get("type")),
+            name in required,
+            p.get("format", ""),
+        )
+        for name, p in sorted(props.items())
+    ]
+    return spark.createDataFrame(
+        rows, "property string, type string, required boolean, format string"
+    )
+
+
+def q_minhash_dups_docs(spark, sf_dir):
+    from jsonschema_infer_spark.operators.dedup import minhash_lsh_pairs
+
+    df = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(df, threshold=0.5, num_perm=32, bands=8)
+
+
+def q_simhash_near_docs(spark, sf_dir):
+    from jsonschema_infer_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_media_features(spark, sf_dir):
+    from jsonschema_infer_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=64, seed=42)
+    return extract_features(media).select(
+        "media_id", "kind", "payload_sha256", "payload_bytes", F.size("feature").alias("dim")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # schema-validation family
+        "events_column_stats": q_events_column_stats,
+        "events_uniqueness": q_events_uniqueness,
+        "events_type_profile": q_events_type_profile,
+        "events_props_json": q_events_props_json,
+        "events_user_sessions": q_events_user_sessions,
+        "events_hourly": q_events_hourly,
+        # relational coverage
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_revenue_topk": q_q3_revenue_topk,
+        "region_revenue": q_region_revenue,
+        "top_customers": q_top_customers,
+        "orders_rollup": q_orders_rollup,
+        "best_order_per_customer": q_best_order_per_customer,
+        "segment_intersect": q_segment_intersect,
+        "unreferenced_parts": q_unreferenced_parts,
+        "customers_per_nation": q_customers_per_nation,
+        # training-data ops
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_langid": q_docs_langid,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_top_jaccard": q_docs_top_jaccard,
+        "embeddings_topk": q_embeddings_topk,
+        "embeddings_label_profile": q_embeddings_label_profile,
+        # rows-only (no oracle)
+        "infer_events_schema": q_infer_events_schema,
+        "minhash_dups_docs": q_minhash_dups_docs,
+        "simhash_near_docs": q_simhash_near_docs,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "events_column_stats": SQL_EVENTS_COLUMN_STATS,
+        "events_uniqueness": SQL_EVENTS_UNIQUENESS,
+        "events_type_profile": SQL_EVENTS_TYPE_PROFILE,
+        "events_props_json": SQL_EVENTS_PROPS_JSON,
+        "events_user_sessions": SQL_EVENTS_USER_SESSIONS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "q1_pricing_summary": SQL_Q1,
+        "q3_revenue_topk": SQL_Q3,
+        "region_revenue": SQL_REGION_REVENUE,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "orders_rollup": SQL_ORDERS_ROLLUP,
+        "best_order_per_customer": SQL_BEST_ORDER,
+        "segment_intersect": SQL_SEGMENT_INTERSECT,
+        "unreferenced_parts": SQL_UNREFERENCED_PARTS,
+        "customers_per_nation": SQL_CUSTOMERS_PER_NATION,
+        "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+        "docs_quality": SQL_DOCS_QUALITY,
+        "docs_langid": SQL_DOCS_LANGID,
+        "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+        "docs_top_jaccard": SQL_DOCS_TOP_JACCARD,
+        "embeddings_topk": SQL_EMBEDDINGS_TOPK,
+        "embeddings_label_profile": SQL_EMBEDDINGS_LABEL_PROFILE,
+    }

@@ -1,0 +1,334 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Four families, each scale-shaped differently:
+- exact: hash-groupBy on (normalized) content — one shuffle of
+  (fingerprint, id) pairs, map-side combined;
+- n-gram Jaccard: exact set similarity via an inverted shingle index —
+  explode + self-join on shingle, count intersections, compute
+  |A∩B| / (|A|+|B|-|A∩B|); stop-shingle cap bounds the join fan-out;
+- MinHash + LSH: num_perm permutations via seeded xxhash64 (pure Column
+  expressions), banded into LSH buckets, candidates from bucket joins,
+  then EXACT Jaccard verification of candidates only — the 100 TB path
+  (no all-pairs term ever materializes);
+- SimHash: 64-bit near-dup signature via an Arrow-vectorized pandas UDF
+  (numpy bit-twiddling; the one operator where a JVM expression would be
+  64 aggregates per row), hamming-distance bucketing on 4 16-bit chunks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .text import normalize_text, fingerprint
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact (normalized) duplicates: fingerprint, group size,
+    the kept id (min) — one groupBy shuffle of small pairs."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per normalized-content group.
+    Window-free: min-id per fingerprint then semi-join back."""
+    keep = (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- n-gram Jaccard ------------------------------------------------------------
+
+
+def char_shingles(col, n: int = 5):
+    """Distinct character n-grams of the normalized text (array<string>)."""
+    norm = normalize_text(col)
+    length = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.filter(
+            F.transform(idx, lambda i: F.substring(norm, i, n)),
+            lambda s: F.length(s) == n,
+        )
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams (array<string>, space-joined)."""
+    toks = F.split(normalize_text(col), " ")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+            ),
+            lambda s: F.size(F.split(s, " ")) == n,
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+    shingles: str = "word",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold) via an
+    inverted shingle index. ``max_shingle_freq`` drops stop-shingles that
+    appear in more rows than the cap — the classic fan-out bound that keeps
+    the self-join linear-ish at scale."""
+    sh = char_shingles(F.col(text_col), n) if shingles == "char" else word_shingles(
+        F.col(text_col), n
+    )
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")).withColumn(
+        "sh_size", F.size("sh")
+    )
+    inv = base.select("id", "sh_size", F.explode("sh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
+    inv = inv.join(
+        freq.filter(F.col("df_freq") <= max_shingle_freq).select("shingle"),
+        "shingle",
+        "inner",
+    )
+    a = inv.select(
+        F.col("shingle"),
+        F.col("id").alias("id_a"),
+        F.col("sh_size").alias("size_a"),
+    )
+    b = inv.select(
+        F.col("shingle"),
+        F.col("id").alias("id_b"),
+        F.col("sh_size").alias("size_b"),
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------------
+
+
+def minhash_signature(shingles_col, num_perm: int = 64):
+    """num_perm minhash values as array<bigint>: min over xxhash64(shingle,
+    seed) per permutation — pure Column expressions, no UDF."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles_col, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    shingles: str = "word",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH with exact verification.
+
+    bands x rows-per-band = num_perm; a pair is a candidate if any band's
+    signature slice matches (bucket join on (band, hash(slice))) — at
+    threshold .8 with 16x4 the miss probability is ~(1-.8^4)^16 ≈ 3e-4.
+    Candidates (tiny vs all-pairs) are then verified with EXACT Jaccard,
+    so the output contains no false positives."""
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("bands must divide num_perm")
+    sh = char_shingles(F.col(text_col), n) if shingles == "char" else word_shingles(
+        F.col(text_col), n
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    )
+    buckets = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.to_json(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sides = base.select("id", "sh")
+    verified = (
+        cand.join(sides.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sides.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+
+@pandas_udf("long")
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-vectorized numpy;
+    per-batch loop over docs, bit ops vectorized across tokens)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.fromiter(
+            (hash(tok) & 0xFFFFFFFFFFFFFFFF for tok in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        counts = bits.sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if counts[b] * 2 >= len(toks):
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """NOTE: python hash() of str is salted per-process unless
+    PYTHONHASHSEED is pinned; Spark pins it for workers, making signatures
+    stable within a job — for cross-run stability use simhash_expr."""
+    return df.withColumn("simhash", _simhash64(F.col(text_col)))
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic SimHash, fully JVM-side and scale-shaped: explode
+    token xxhash64s, then ONE groupBy with 64 per-bit majority-vote sums
+    (map-side combined — the shuffle carries 64 longs per doc, not tokens),
+    then recombine the sign bits into the 64-bit signature with literal
+    shifts. Documents with no tokens are absent from the output."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    votes = exploded.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, b))
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of the 4 16-bit chunks
+    (pigeonhole: hamming<=3 pairs share at least one exact chunk), join
+    within buckets, verify hamming distance exactly via bit_count(xor)."""
+    sig = simhash_table(df, text_col, id_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("chunk"),
+                        F.shiftright(F.col("simhash"), 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.val")
+    pairs = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

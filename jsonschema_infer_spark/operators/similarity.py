@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: pure Column expressions (zip_with + aggregate
+  dot product) — the correctness baseline, one scan, no shuffle beyond the
+  final top-k (orderBy + limit = distributed TakeOrdered, no full sort).
+- LSH-bucketed near-neighbor pairs: random-hyperplane signatures computed
+  by an Arrow-vectorized pandas UDF (one numpy matmul per batch), bucket
+  join on signature bands, exact cosine verification of candidates — the
+  scale path for all-pairs similarity (never materializes N^2).
+- IVF-style search: k-means-lite coarse centroids (seeded sample, driver
+  numpy), probe nearest cells only — the scale path for query top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against a constant query vector.
+    orderBy+limit compiles to TakeOrderedAndProject — each partition keeps
+    its local top-k, driver merges; no global sort."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _plane_udf(planes: np.ndarray):
+    @pandas_udf("long")
+    def signature(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim) float32
+        proj = m.astype(np.float64) @ planes.T  # (batch, n_planes)
+        bits = (proj > 0).astype(np.uint64)
+        sig = np.zeros(len(m), dtype=np.uint64)
+        for b in range(planes.shape[0]):
+            sig |= bits[:, b] << np.uint64(b)
+        return pd.Series(sig.astype(np.int64))
+
+    return signature
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: random-hyperplane LSH buckets ->
+    candidate pairs -> exact cosine verify >= threshold."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = _plane_udf(planes)
+    rows_per_band = n_planes // bands
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "sig", sig(F.col("v"))
+    )
+    mask = (1 << rows_per_band) - 1
+    buckets = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * rows_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.val")
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = base.select("id", "v")
+    va = vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a")
+    vb = vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b")
+    sim = cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(sim, 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_rows: int = 4096,
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse centroids from a seeded sample
+    (driver numpy k-means-lite), rows assigned to nearest cell once, query
+    probes only the n_probe nearest cells. At 100 TB the cell assignment is
+    a materialized column and the probe prunes partitions; here it prunes
+    the scan with a broadcast-friendly isin filter."""
+    sample = np.stack(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()]
+    ).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(5):  # lite Lloyd iterations on the sample
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            pts = sample[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(0)
+
+    cent_arrs = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, ca, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            for ca in cent_arrs
+        ]
+    )
+    cell = F.array_position(dists, F.array_min(dists)) - 1
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = ((cents - q[None, :]) ** 2).sum(1)
+    probe_cells = [int(c) for c in qd.argsort()[:n_probe]]
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(v, qcol)
+    return (
+        df.withColumn("_cell", cell)
+        .filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
