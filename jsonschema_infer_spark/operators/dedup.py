@@ -228,36 +228,38 @@ def minhash_lsh_pairs(
 # --- SimHash ---------------------------------------------------------------------
 
 
-@pandas_udf("long")
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow-vectorized numpy;
-    per-batch loop over docs, bit ops vectorized across tokens)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.lower().split()
-        if not toks:
-            continue
-        hs = np.fromiter(
-            (hash(tok) & 0xFFFFFFFFFFFFFFFF for tok in toks),
-            dtype=np.uint64,
-            count=len(toks),
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        counts = bits.sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(64):
-            if counts[b] * 2 >= len(toks):
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+def simhash_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-vectorized SimHash variant (numpy bit ops per batch) — the
+    pandas-UDF surface demo; prefer simhash_table (pure JVM) on hot paths.
+    NOTE: python hash() is salted per-process unless PYTHONHASHSEED is
+    pinned; Spark pins it for workers, so signatures are stable within a
+    job — use simhash_table for cross-run stability."""
 
+    @pandas_udf("long")
+    def _simhash64(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (hash(tok) & 0xFFFFFFFFFFFFFFFF for tok in toks),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int32
+            )
+            counts = bits.sum(axis=0)
+            sig = np.uint64(0)
+            for b in range(64):
+                if counts[b] * 2 >= len(toks):
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """NOTE: python hash() of str is salted per-process unless
-    PYTHONHASHSEED is pinned; Spark pins it for workers, making signatures
-    stable within a job — for cross-run stability use simhash_expr."""
     return df.withColumn("simhash", _simhash64(F.col(text_col)))
 
 

@@ -1,0 +1,180 @@
+"""Dedup / similarity / text / multimodal operators on data with KNOWN
+structure: the transcript fixture's pool-based text has real duplicate
+groups (text is drawn from a finite pool), and embeddings near-dups are
+planted explicitly."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_infer_spark.operators import dedup as D
+from jsonschema_infer_spark.operators import similarity as SIM
+from jsonschema_infer_spark.operators import text as T
+from jsonschema_infer_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tx_paths):
+    """Transcript turns as documents: (doc_id, text); pool-based text means
+    exact duplicate groups exist by construction."""
+    df = spark.read.parquet(tx_paths["clean"])
+    return (
+        df.select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"), F.col("text")
+        )
+        .filter(F.length("text") > 0)
+        .cache()
+    )
+
+
+def test_exact_dedup_matches_groundtruth(spark, docs):
+    # ground truth duplicate groups computed directly on normalized text
+    truth = (
+        docs.select(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .filter("count > 1")
+    )
+    expected_groups = truth.count()
+    expected_rows_after = docs.count() - truth.select(
+        F.sum(F.col("count") - 1)
+    ).collect()[0][0]
+
+    groups = D.exact_duplicate_groups(docs)
+    assert groups.count() == expected_groups
+    assert D.exact_dedup(docs).count() == expected_rows_after
+
+
+def test_ngram_jaccard_finds_exact_dups(spark, docs):
+    sample = docs.limit(400).cache()
+    dup_fps = {
+        r.fp for r in D.exact_duplicate_groups(sample).collect()
+    }
+    pairs = D.ngram_jaccard_pairs(sample, threshold=0.999)
+    # every exact-duplicate pair must appear with jaccard 1.0
+    n_exact_pairs = (
+        D.exact_duplicate_groups(sample)
+        .select((F.col("group_size") * (F.col("group_size") - 1) / 2).alias("p"))
+        .agg(F.sum("p"))
+        .collect()[0][0]
+    )
+    got = pairs.collect()
+    assert all(abs(r.jaccard - 1.0) < 1e-9 for r in got)
+    assert len(got) == int(n_exact_pairs or 0)
+
+
+def test_minhash_lsh_recovers_exact_dups(spark, docs):
+    sample = docs.limit(400).cache()
+    exact = D.ngram_jaccard_pairs(sample, threshold=0.999)
+    lsh = D.minhash_lsh_pairs(sample, threshold=0.999, num_perm=32, bands=16)
+    exact_set = {(r.id_a, r.id_b) for r in exact.collect()}
+    lsh_set = {(r.id_a, r.id_b) for r in lsh.collect()}
+    # identical docs have identical signatures -> recall 1.0 at j=1.0;
+    # verification guarantees precision 1.0
+    assert lsh_set == exact_set
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sample = docs.limit(400)
+    sigs = D.simhash_table(sample).cache()
+    # identical normalized text -> identical simhash
+    joined = (
+        sample.select(
+            F.col("doc_id").alias("id"),
+            T.normalize_text(F.col("text")).alias("norm"),
+        )
+        .join(sigs, "id")
+        .groupBy("norm")
+        .agg(F.count_distinct("simhash").alias("d"))
+    )
+    assert joined.filter("d > 1").count() == 0
+    near = D.simhash_near_pairs(sample, max_hamming=0)
+    exact = D.ngram_jaccard_pairs(sample, threshold=0.999)
+    near_set = {(r.id_a, r.id_b) for r in near.collect()}
+    exact_set = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert exact_set <= near_set  # hamming 0 must cover identical docs
+
+
+def test_cosine_topk_and_lsh(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 16)).astype(np.float32)
+    base[17] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    top = SIM.cosine_topk(df, [float(x) for x in base[3]], k=3)
+    got = [r.vec_id for r in top.collect()]
+    assert got[0] == 3 and 17 in got[:2]
+
+    pairs = SIM.lsh_cosine_pairs(df, threshold=0.99, n_planes=16, bands=8)
+    assert (3, 17) in {(r.id_a, r.id_b) for r in pairs.collect()}
+
+    ivf = SIM.ivf_topk(df, [float(x) for x in base[3]], k=3, n_cells=8, n_probe=4)
+    assert [r.vec_id for r in ivf.collect()][0] == 3
+
+
+def test_text_quality_and_langid(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog, and that is that."),
+        (2, "le chat est dans la maison et il est content dans le jardin"),
+        (3, "xyzzy plugh !!!! ???? ...."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r.doc_id: r for r in T.quality_features(df, keep=["doc_id"]).collect()}
+    assert q[1].n_tokens == 13
+    assert q[4].n_tokens == 0 and q[4].quality_score == 0.0
+    assert q[3].alpha_ratio < 0.5 and q[3].quality_score <= 0.2
+    assert q[1].stopword_ratio > 0.2
+
+    lang = {r.doc_id: r.lang for r in df.select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
+    assert lang[1] == "en" and lang[2] == "fr" and lang[3] == "und"
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "goodbye world")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n=30, seed=1)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 64 for r in rows)
+    # deterministic: same payload -> same feature
+    feats2 = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert all(feats2[r.media_id] == r.feature for r in rows)
+    plan = frame_sample_plan(media, every_ms=1000)
+    assert plan.filter(F.col("n_frames") <= 0).count() == 0
+
+
+def test_streaming_incremental_inference(spark, tx_paths, tmp_path):
+    """foreachBatch incremental fold == batch fold over the same data."""
+    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+    from jsonschema_infer_spark.streaming.incremental import IncrementalInferrer
+
+    df = spark.read.parquet(tx_paths["clean"])
+    inc = IncrementalInferrer(str(tmp_path / "state"))
+    # simulate micro-batches deterministically (3 slices by bucket)
+    b = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(3))
+    for i in range(3):
+        inc(df.filter(b == i), batch_id=i)
+    batch = infer_dataframe(df)
+    assert inc.current_schema_json() == batch.schema_json
+    # replayed batch id is a no-op (exactly-once)
+    inc(df.limit(50), batch_id=2)
+    assert inc.current_schema_json() == batch.schema_json
+    # a fresh instance resumes from the persisted state
+    inc2 = IncrementalInferrer(str(tmp_path / "state"))
+    assert inc2.current_schema_json() == batch.schema_json
