@@ -477,7 +477,7 @@ def q_docs_top_jaccard(spark, sf_dir):
 
     df = _load(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_freq=10**9)
+        ngram_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_freq=None)
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(10)
     )

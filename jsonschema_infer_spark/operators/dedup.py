@@ -103,31 +103,39 @@ def ngram_jaccard_pairs(
     sh = char_shingles(F.col(text_col), n) if shingles == "char" else word_shingles(
         F.col(text_col), n
     )
-    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")).withColumn(
-        "sh_size", F.size("sh")
+    # materialize the inverted index ONCE: both self-join sides, the
+    # frequency filter and the size table all reuse it (without the cache
+    # the shingle expression would be evaluated 4x). At 100 TB this is the
+    # artifact you'd write to storage instead.
+    inv = (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .persist()
     )
-    inv = base.select("id", "sh_size", F.explode("sh").alias("shingle"))
-    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
-    inv = inv.join(
-        freq.filter(F.col("df_freq") <= max_shingle_freq).select("shingle"),
-        "shingle",
-        "inner",
-    )
-    a = inv.select(
-        F.col("shingle"),
-        F.col("id").alias("id_a"),
-        F.col("sh_size").alias("size_a"),
-    )
-    b = inv.select(
-        F.col("shingle"),
-        F.col("id").alias("id_b"),
-        F.col("sh_size").alias("size_b"),
-    )
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_freq"))
+            .filter(F.col("df_freq") <= max_shingle_freq)
+            .select("shingle")
+        )
+        inv_j = inv.join(freq_ok, "shingle", "inner")
+    else:
+        inv_j = inv
+    # join payload is (shingle, id) only — sizes come back via two joins
+    # against the tiny per-id table (broadcast)
+    a = inv_j.select("shingle", F.col("id").alias("id_a"))
+    b = inv_j.select("shingle", F.col("id").alias("id_b"))
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz = F.broadcast(sizes)
+    inter = (
+        inter.join(sz.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sz.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
     )
     jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
     return (
@@ -176,10 +184,13 @@ def minhash_lsh_pairs(
     sh = char_shingles(F.col(text_col), n) if shingles == "char" else word_shingles(
         F.col(text_col), n
     )
+    # persist: shingling + num_perm hash scans happen once; buckets and the
+    # exact-verification joins both reuse the materialized signatures
     base = (
         df.select(F.col(id_col).alias("id"), sh.alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+        .persist()
     )
     buckets = base.select(
         "id",
