@@ -374,6 +374,106 @@ JOIN region ON n_regionkey = r_regionkey GROUP BY n_name, r_name
 """
 
 
+# --- drift checks (operators/drift.py semantics, declarative twin) -------------
+
+
+def q_events_type_drift(spark, sf_dir):
+    """Chi-square homogeneity contributions of event_type between the two
+    deterministic halves user_id%2==0 vs ==1 — the declarative twin of
+    operators/drift.categorical_drift (same contingency-table math; the
+    driver-side p-value lives in functions/stats.py)."""
+    df = _load(spark, sf_dir, "events")
+    side_a = F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, 1).otherwise(0)
+    g = df.groupBy("event_type").agg(
+        F.sum(side_a).alias("n_a"),
+        F.sum(F.lit(1) - side_a).alias("n_b"),
+    )
+    tot = g.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    row = (F.col("n_a") + F.col("n_b")).cast("double")
+    grand = F.col("ta") + F.col("tb")
+    ea = row * F.col("ta") / grand
+    eb = row * F.col("tb") / grand
+    contrib = (
+        F.pow(F.col("n_a") - ea, F.lit(2)) / ea
+        + F.pow(F.col("n_b") - eb, F.lit(2)) / eb
+    )
+    return j.select(
+        "event_type", "n_a", "n_b", F.round(contrib, 4).alias("chi2_contrib")
+    )
+
+
+SQL_EVENTS_TYPE_DRIFT = """
+WITH g AS (
+  SELECT event_type,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+  FROM events GROUP BY event_type),
+t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb FROM g)
+SELECT event_type, n_a, n_b,
+  round(pow(n_a - (n_a + n_b) * ta / (ta + tb), 2) / ((n_a + n_b) * ta / (ta + tb))
+      + pow(n_b - (n_a + n_b) * tb / (ta + tb), 2) / ((n_a + n_b) * tb / (ta + tb)),
+      4) AS chi2_contrib
+FROM g, t
+"""
+
+
+def q_events_value_ks(spark, sf_dir):
+    """Exact two-sample KS D statistic on `value` between the user_id%2
+    halves — declarative twin of operators/drift._exact_ks_d: groupBy on the
+    distinct values (map-side combined) then one cumulative window over the
+    tiny distinct-value relation."""
+    from pyspark.sql import Window
+
+    df = _load(spark, sf_dir, "events")
+    side_a = F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, 1).otherwise(0)
+    g = (
+        df.where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(
+            F.sum(side_a).alias("ca"),
+            F.sum(F.lit(1) - side_a).alias("cb"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    diff = F.abs(
+        F.sum("ca").over(w) / F.sum("ca").over(wall)
+        - F.sum("cb").over(w) / F.sum("cb").over(wall)
+    )
+    return g.select(
+        diff.alias("diff"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    ).agg(
+        F.round(F.max("diff"), 4).alias("ks_d"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+
+
+SQL_EVENTS_VALUE_KS = """
+WITH g AS (
+  SELECT value,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+  FROM events WHERE value IS NOT NULL GROUP BY value),
+c AS (
+  SELECT
+    abs(sum(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+          / sum(ca) OVER ()
+      - sum(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+          / sum(cb) OVER ()) AS diff,
+    sum(ca) OVER () AS n_a,
+    sum(cb) OVER () AS n_b
+  FROM g)
+SELECT round(max(diff), 4) AS ks_d, max(n_a) AS n_a, max(n_b) AS n_b FROM c
+"""
+
+
 # --- training-data ops ---------------------------------------------------------
 
 
@@ -580,6 +680,40 @@ def q_simhash_near_docs(spark, sf_dir):
     return simhash_near_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_transcript_verdicts(spark, sf_dir):
+    """Flagship transcript pipeline end-to-end (rows-only: the inference
+    fold + injected-violation bookkeeping are not DuckDB-expressible):
+    deterministic violated transcript table -> distributed inference ->
+    constraint compile -> per-bucket pass/fail verdicts + uniqueness and
+    turn-ordering violation counts (north_rule's per-partition verdicts)."""
+    from jsonschema_infer_spark.operators import validate as V
+    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+    from jsonschema_infer_spark.sources.transcripts import (
+        generate_transcripts,
+        inject_violations,
+    )
+
+    table, _log = inject_violations(generate_transcripts(300, seed=7), seed=7)
+    df = spark.createDataFrame(table.to_pandas())
+    res = infer_dataframe(df, num_partitions=8)
+    cons = V.compile_constraints(res.schema, state=res.state, df=df)
+    verdicts = V.partition_verdicts(df, cons, bucket_col="conv_id", num_buckets=8)
+    dups = V.duplicate_keys(df, ["conv_id", "turn_idx"]).groupBy().agg(
+        F.count(F.lit(1)).alias("dup_keys")
+    )
+    order = V.turn_ordering_violations(df).groupBy().agg(
+        F.count(F.lit(1)).alias("order_violations")
+    )
+    return (
+        verdicts.select(
+            "bucket", "rows", "violation_total", "passed"
+        )
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(order))
+        .orderBy("bucket")
+    )
+
+
 def q_media_features(spark, sf_dir):
     from jsonschema_infer_spark.operators.multimodal import (
         extract_features,
@@ -601,6 +735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": q_events_props_json,
         "events_user_sessions": q_events_user_sessions,
         "events_hourly": q_events_hourly,
+        # drift family
+        "events_type_drift": q_events_type_drift,
+        "events_value_ks": q_events_value_ks,
         # relational coverage
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_revenue_topk": q_q3_revenue_topk,
@@ -621,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_label_profile": q_embeddings_label_profile,
         # rows-only (no oracle)
         "infer_events_schema": q_infer_events_schema,
+        "transcript_verdicts": q_transcript_verdicts,
         "minhash_dups_docs": q_minhash_dups_docs,
         "simhash_near_docs": q_simhash_near_docs,
         "media_features": q_media_features,
@@ -635,6 +773,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_json": SQL_EVENTS_PROPS_JSON,
         "events_user_sessions": SQL_EVENTS_USER_SESSIONS,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_type_drift": SQL_EVENTS_TYPE_DRIFT,
+        "events_value_ks": SQL_EVENTS_VALUE_KS,
         "q1_pricing_summary": SQL_Q1,
         "q3_revenue_topk": SQL_Q3,
         "region_revenue": SQL_REGION_REVENUE,
