@@ -624,6 +624,54 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
 
+def q_embeddings_cos_pairs(spark, sf_dir):
+    """Brute-force all-pairs embedding similarity join (the exact baseline;
+    operators/similarity.lsh_cosine_pairs is the 100 TB scale path).
+    Cosine stays JVM-side via higher-order functions; the smaller side is
+    broadcast so no shuffle."""
+    from jsonschema_infer_spark.operators.similarity import cosine
+
+    df = _load(spark, sf_dir, "embeddings")
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    sim = F.round(
+        cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")),
+        4,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+SQL_EMBEDDINGS_COS_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45
+"""
+
+
+def q_embeddings_lsh_pairs(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH bucketing -> band-join
+    candidates -> exact cosine verify (rows-only: DuckDB has no LSH)."""
+    from jsonschema_infer_spark.operators.similarity import lsh_cosine_pairs
+
+    df = _load(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(df, threshold=0.4, n_planes=16, bands=8, seed=42)
+
+
+def q_embeddings_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k: probe only the nearest coarse cells
+    (rows-only: approximate by construction)."""
+    from jsonschema_infer_spark.operators.similarity import ivf_topk
+
+    df = _load(spark, sf_dir, "embeddings")
+    qvec = df.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(df.filter(F.col("vec_id") != 0), qvec, k=10, seed=42)
+
+
 def q_embeddings_label_profile(spark, sf_dir):
     df = _load(spark, sf_dir, "embeddings")
     return df.groupBy("label").agg(
@@ -755,10 +803,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_top_jaccard": q_docs_top_jaccard,
         "embeddings_topk": q_embeddings_topk,
+        "embeddings_cos_pairs": q_embeddings_cos_pairs,
         "embeddings_label_profile": q_embeddings_label_profile,
         # rows-only (no oracle)
         "infer_events_schema": q_infer_events_schema,
         "transcript_verdicts": q_transcript_verdicts,
+        "embeddings_lsh_pairs": q_embeddings_lsh_pairs,
+        "embeddings_ivf_topk": q_embeddings_ivf_topk,
         "minhash_dups_docs": q_minhash_dups_docs,
         "simhash_near_docs": q_simhash_near_docs,
         "media_features": q_media_features,
@@ -790,5 +841,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_top_jaccard": SQL_DOCS_TOP_JACCARD,
         "embeddings_topk": SQL_EMBEDDINGS_TOPK,
+        "embeddings_cos_pairs": SQL_EMBEDDINGS_COS_PAIRS,
         "embeddings_label_profile": SQL_EMBEDDINGS_LABEL_PROFILE,
     }

@@ -45,14 +45,17 @@ def ensure_bench_transcripts(n_convs: int, seed: int = 42) -> str:
     """Generate-and-cache the bench transcript table (violated variant so the
     validation pass has real work)."""
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"transcripts_bench_{n_convs}_{seed}.parquet")
+    # v2: violated variant + small row groups (scan-parallelism fix)
+    path = os.path.join(CACHE, f"transcripts_bench_v2_{n_convs}_{seed}.parquet")
     if not os.path.exists(path):
         from jsonschema_infer_spark.sources.transcripts import (
             generate_transcripts,
+            inject_violations,
             write_parquet,
         )
 
         table = generate_transcripts(n_convs, seed=seed, hot_convs=3, hot_turns=4096)
+        table, _log = inject_violations(table, seed=seed)
         write_parquet(table, path)
     return path
 

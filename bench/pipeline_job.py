@@ -27,6 +27,10 @@ def main():
             "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
         )
         .config("spark.sql.adaptive.enabled", "true")
+        # single-file parquet input: splits (and thus scan parallelism) are
+        # file-size/maxPartitionBytes, bounded by row-group count — keep
+        # splits small enough to feed every core at local[32]
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .appName("jis-scaling-bench")
         .getOrCreate()

@@ -171,12 +171,21 @@ def generate_transcripts(
 
 
 
+def _cast_string_chunked(col: pa.ChunkedArray, step: int = 1_000_000) -> pa.ChunkedArray:
+    """Dictionary -> string cast in bounded slices: a single cast chunk of
+    >2 GiB of text overflows arrow's 32-bit string offsets at bench scale."""
+    chunks = []
+    for i in range(0, len(col), step):
+        chunks.append(col.slice(i, step).cast(pa.string()).combine_chunks())
+    return pa.chunked_array(chunks, type=pa.string())
+
+
 def decode(table: pa.Table) -> pa.Table:
     """Decode dictionary-encoded columns to plain strings (for pandas interop;
     Spark reads the dictionary-encoded parquet transparently either way)."""
     return pa.table(
         {
-            n: col.cast(pa.string()) if pa.types.is_dictionary(col.type) else col
+            n: _cast_string_chunked(col) if pa.types.is_dictionary(col.type) else col
             for n, col in zip(table.schema.names, table.columns)
         }
     )
@@ -200,6 +209,11 @@ def inject_violations(table: pa.Table, seed: int = 42) -> tuple[pa.Table, dict]:
     n = len(df)
     log: dict = {}
 
+    # positional index per conversation, built ONCE (rows are generated in
+    # turn order per conv, so grp[c][k] is the row with the k-th turn) —
+    # per-conv boolean scans would be O(convs * n) at bench scale
+    grp = df.groupby("conv_id", sort=False).indices
+
     # duplicates: sample rows, append copies
     dup_rows = rng.choice(n, size=max(1, n // 1000), replace=False)
     dup_df = df.iloc[dup_rows].copy()
@@ -214,19 +228,18 @@ def inject_violations(table: pa.Table, seed: int = 42) -> tuple[pa.Table, dict]:
     sizes = df.groupby("conv_id", sort=False)["turn_idx"].max()
     big = sizes[sizes >= 3].index.to_numpy()
     gap_convs = rng.choice(big, size=min(k_gap, len(big)), replace=False)
-    drop_idx = []
-    for c in gap_convs:
-        rows = df.index[df["conv_id"] == c]
-        drop_idx.append(rows[1])  # remove turn_idx==1 -> gap
-    df = df.drop(index=drop_idx)
+    drop_idx = [grp[c][1] for c in gap_convs]  # remove turn_idx==1 -> gap
     log["gap_convs"] = sorted(map(str, gap_convs))
 
     # non-zero starts: remove turn 0 from other convs
     rest = np.setdiff1d(big, gap_convs)
     shift_convs = rng.choice(rest, size=min(k_gap, len(rest)), replace=False)
-    drop0 = [df.index[df["conv_id"] == c][0] for c in shift_convs]
-    df = df.drop(index=drop0)
+    drop0 = [grp[c][0] for c in shift_convs]
     log["shift_convs"] = sorted(map(str, shift_convs))
+
+    keep = np.ones(n, dtype=bool)
+    keep[np.asarray(drop_idx + drop0, dtype=np.int64)] = False
+    df = df.iloc[np.flatnonzero(keep)]
 
     df = (
         df._append(dup_df)
@@ -263,20 +276,31 @@ def inject_violations(table: pa.Table, seed: int = 42) -> tuple[pa.Table, dict]:
         size=min(max(1, len(convs) // 2000), len(convs)),
         replace=False,
     )
+    grp2 = df.groupby("conv_id", sort=False).indices
     for c in reg_convs:
-        rows = df.index[(df["conv_id"] == c)].tolist()
+        rows = grp2[c]
         if len(rows) >= 2:
             a, b = rows[0], rows[1]
             df.loc[a, "ts"], df.loc[b, "ts"] = df.loc[b, "ts"], df.loc[a, "ts"]
     log["ts_regression_convs"] = sorted(map(str, reg_convs))
 
-    out = pa.Table.from_pandas(df, preserve_index=False)
-    out = out.cast(table.schema)
-    return out, log
+    # chunked conversion: one giant chunk would overflow arrow's 32-bit
+    # string offsets (>2 GiB of text) at bench scale
+    step = 1_000_000
+    parts = [
+        pa.Table.from_pandas(df.iloc[i : i + step], preserve_index=False).cast(
+            table.schema
+        )
+        for i in range(0, len(df), step)
+    ]
+    return pa.concat_tables(parts), log
 
 
-def write_parquet(table: pa.Table, path: str) -> str:
+def write_parquet(table: pa.Table, path: str, row_group_size: int = 128 * 1024) -> str:
+    """Write with small row groups: Spark's scan parallelism on a single
+    parquet file is bounded by row-group count, so 1M-row default groups
+    would cap a 10M-row bench table at ~10 tasks regardless of cores."""
     import pyarrow.parquet as pq
 
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)
     return path
