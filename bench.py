@@ -73,8 +73,7 @@ def run_transcript_pipeline(spark, path: str) -> dict:
     res = infer_dataframe(df)
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
     agg = V.violation_counts(df, cons).collect()
-    n_dup = V.duplicate_keys(df, ["conv_id", "turn_idx"]).count()
-    n_ord = V.turn_ordering_violations(df).count()
+    integ = V.transcript_integrity_summary(df)
     secs = time.time() - t0
     rows = res.total_rows
     return {
@@ -82,8 +81,8 @@ def run_transcript_pipeline(spark, path: str) -> dict:
         "secs": secs,
         "turns_per_sec": rows / secs,
         "row_violations": int(sum(r.violation_count for r in agg)),
-        "dup_keys": n_dup,
-        "ordering_violations": n_ord,
+        "dup_rows_excess": integ["dup_rows_excess"],
+        "ordering_violations": integ["ordering_violations"],
     }
 
 

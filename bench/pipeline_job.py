@@ -43,15 +43,28 @@ def main():
 
     df = spark.read.parquet(args.data)
 
-    # one warm-up scan so JIT/IO cache states are comparable across runs
+    # warm-up: one scan (JIT + page cache) and one trivial arrow round-trip
+    # so every python worker is forked and has pandas imported before the
+    # timed section — worker cold-start is O(cores), not O(data), and would
+    # otherwise bias the high-parallelism run
     df.count()
+    warm = spark.range(0, cores * 4, 1, cores * 4)
+    warm.mapInArrow(lambda it: it, "id long").count()
 
     t0 = time.time()
     res = infer_dataframe(df)
+    t_infer = time.time() - t0
+    t = time.time()
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
+    t_compile = time.time() - t
+    t = time.time()
     agg = V.violation_counts(df, cons).collect()
-    n_dup = V.duplicate_keys(df, ["conv_id", "turn_idx"]).count()
-    n_ord = V.turn_ordering_violations(df).count()
+    t_viol = time.time() - t
+    t = time.time()
+    integ = V.transcript_integrity_summary(df)
+    n_dup = integ["dup_rows_excess"]
+    n_ord = integ["ordering_violations"]
+    t_integrity = time.time() - t
     secs = time.time() - t0
 
     out = {
@@ -60,8 +73,14 @@ def main():
         "secs": round(secs, 3),
         "turns_per_sec": round(res.total_rows / secs, 1),
         "row_violations": int(sum(r.violation_count for r in agg)),
-        "dup_keys": n_dup,
+        "dup_rows_excess": n_dup,
         "ordering_violations": n_ord,
+        "stage_secs": {
+            "infer": round(t_infer, 2),
+            "compile": round(t_compile, 2),
+            "violations": round(t_viol, 2),
+            "integrity": round(t_integrity, 2),
+        },
     }
     with open(args.out, "w") as f:
         json.dump(out, f)

@@ -132,13 +132,26 @@ def _bounded_unique(arr: pa.Array):
     return u
 
 
+_FMT_PREFIX = 256
+
+
 def _eliminate_formats(st: dict, values: pa.Array, config: InferConfig) -> None:
     """Candidate elimination on a batch of non-null strings (node.go:94-121),
-    vectorized: candidate survives iff it matches EVERY string in the batch."""
+    vectorized: candidate survives iff it matches EVERY string in the batch.
+
+    Short-circuit: run the detectors on a small prefix first — on real data
+    most candidates die within a few values, and only prefix survivors pay
+    for the rest of the batch. Elimination is an intersection over all
+    values, so prefix-then-remainder yields exactly the same survivor set."""
     if st["fmts"] is None:
         st["fmts"] = list(config.format_names())
     if not st["fmts"] or len(values) == 0:
         return
+    if len(values) > _FMT_PREFIX:
+        _eliminate_formats(st, values.slice(0, _FMT_PREFIX), config)
+        if not st["fmts"]:
+            return
+        values = values.slice(_FMT_PREFIX)
     dm = config.detector_map()
     pds = None
     survivors = []
@@ -189,11 +202,12 @@ def observe_arrow_column(
             _latch_const(st, "boolean", mn)
         else:
             _const_differs(st)
-        u = _bounded_unique(vals)
-        if u is None:
-            st["distinct"] = None
-        else:
-            _add_distinct(st, "boolean", u.to_pylist())
+        if st["distinct"] is not None:
+            u = _bounded_unique(vals)
+            if u is None:
+                st["distinct"] = None
+            else:
+                _add_distinct(st, "boolean", u.to_pylist())
 
     elif pa.types.is_integer(typ):
         st["n"] += n
@@ -206,11 +220,12 @@ def observe_arrow_column(
             _latch_const(st, "integer", mn)
         else:
             _const_differs(st)
-        u = _bounded_unique(vals)
-        if u is None:
-            st["distinct"] = None
-        else:
-            _add_distinct(st, "integer", u.to_pylist())
+        if st["distinct"] is not None:
+            u = _bounded_unique(vals)
+            if u is None:
+                st["distinct"] = None
+            else:
+                _add_distinct(st, "integer", u.to_pylist())
 
     elif pa.types.is_floating(typ):
         st["n"] += n
@@ -256,17 +271,21 @@ def observe_arrow_column(
         vals = arr.drop_null()
         lens = pc.min_max(pc.utf8_length(vals))
         _track_lens(st, lens["min"].as_py(), lens["max"].as_py())
-        mn_mx = pc.min_max(vals)
-        mn, mx = mn_mx["min"].as_py(), mn_mx["max"].as_py()
-        if mn == mx:
-            _latch_const(st, "string", mn)
-        else:
-            _const_differs(st)
-        u = _bounded_unique(vals)
-        if u is None:
-            st["distinct"] = None
-        else:
-            _add_distinct(st, "string", u.to_pylist())
+        if not st["const_differ"]:
+            # string min_max only feeds the const latch; once it has
+            # permanently differed the whole-batch byte compare is wasted
+            mn_mx = pc.min_max(vals)
+            mn, mx = mn_mx["min"].as_py(), mn_mx["max"].as_py()
+            if mn == mx:
+                _latch_const(st, "string", mn)
+            else:
+                _const_differs(st)
+        if st["distinct"] is not None:
+            u = _bounded_unique(vals)
+            if u is None:
+                st["distinct"] = None
+            else:
+                _add_distinct(st, "string", u.to_pylist())
         if st["fmts"] is None or st["fmts"]:
             _eliminate_formats(st, vals, config)
 

@@ -77,6 +77,19 @@ def test_turn_ordering_matches_injections(compiled):
     assert V.turn_ordering_violations(clean).count() == 0
 
 
+def test_integrity_summary_matches_separate_operators(compiled):
+    res, cons, clean, viol, log = compiled
+    summ = V.transcript_integrity_summary(viol)
+    assert summ["ordering_violations"] == V.turn_ordering_violations(viol).count()
+    excess = sum(
+        r.dup_count - 1
+        for r in V.duplicate_keys(viol, ["conv_id", "turn_idx"]).collect()
+    )
+    assert summ["dup_rows_excess"] == excess
+    clean_summ = V.transcript_integrity_summary(clean)
+    assert clean_summ == {"dup_rows_excess": 0, "ordering_violations": 0}
+
+
 def test_ts_regressions_match_injections(compiled):
     res, cons, clean, viol, log = compiled
     got_convs = {r.conv_id for r in V.ts_regressions(viol).collect()}
