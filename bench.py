@@ -32,7 +32,10 @@ BENCH_QUERIES = [
     "docs_token_stats",
     "docs_quality",
     "docs_top_jaccard",
+    "events_type_drift",
+    "events_value_ks",
     "embeddings_topk",
+    "embeddings_cos_pairs",
     "minhash_dups_docs",
     "simhash_near_docs",
     "infer_events_schema",

@@ -232,7 +232,9 @@ def inject_violations(table: pa.Table, seed: int = 42) -> tuple[pa.Table, dict]:
     log["gap_convs"] = sorted(map(str, gap_convs))
 
     # non-zero starts: remove turn 0 from other convs
-    rest = np.setdiff1d(big, gap_convs)
+    # (sorted-set diff == np.setdiff1d output, without in1d's O(n*m)
+    # object-dtype fallback that goes quadratic at bench scale)
+    rest = np.array(sorted(set(big) - set(gap_convs)))
     shift_convs = rng.choice(rest, size=min(k_gap, len(rest)), replace=False)
     drop0 = [grp[c][0] for c in shift_convs]
     log["shift_convs"] = sorted(map(str, shift_convs))
@@ -251,7 +253,9 @@ def inject_violations(table: pa.Table, seed: int = 42) -> tuple[pa.Table, dict]:
 
     # null required columns
     null_role = rng.choice(n, size=max(1, n // 2000), replace=False)
-    remaining = np.setdiff1d(np.arange(n), null_role)
+    mask = np.ones(n, dtype=bool)
+    mask[null_role] = False
+    remaining = np.flatnonzero(mask)
     null_text = rng.choice(remaining, size=max(1, n // 2000), replace=False)
     df.loc[null_role, "role"] = None
     df.loc[null_text, "text"] = None
@@ -263,7 +267,8 @@ def inject_violations(table: pa.Table, seed: int = 42) -> tuple[pa.Table, dict]:
     )
 
     # out-of-enum role
-    pool2 = np.setdiff1d(remaining, null_text)
+    mask[null_text] = False
+    pool2 = np.flatnonzero(mask)
     bad_role = rng.choice(pool2, size=max(1, n // 5000), replace=False)
     df.loc[bad_role, "role"] = "robot"
     log["bad_role_rows"] = sorted(
@@ -271,17 +276,27 @@ def inject_violations(table: pa.Table, seed: int = 42) -> tuple[pa.Table, dict]:
     )
 
     # ts regression inside some convs: swap ts of turns 0 and 1
+    reg_pool = np.array(sorted(set(convs) - set(gap_convs) - set(shift_convs)))
     reg_convs = rng.choice(
-        np.setdiff1d(convs, np.concatenate([gap_convs, shift_convs])),
+        reg_pool,
         size=min(max(1, len(convs) // 2000), len(convs)),
         replace=False,
     )
     grp2 = df.groupby("conv_id", sort=False).indices
+    swap_a, swap_b = [], []
     for c in reg_convs:
         rows = grp2[c]
         if len(rows) >= 2:
-            a, b = rows[0], rows[1]
-            df.loc[a, "ts"], df.loc[b, "ts"] = df.loc[b, "ts"], df.loc[a, "ts"]
+            swap_a.append(rows[0])
+            swap_b.append(rows[1])
+    if swap_a:
+        # one vectorized pass: per-row .loc setitem would copy the whole
+        # block each time (quadratic at bench scale)
+        ts = df["ts"].to_numpy().copy()
+        a_idx = np.asarray(swap_a)
+        b_idx = np.asarray(swap_b)
+        ts[a_idx], ts[b_idx] = ts[b_idx].copy(), ts[a_idx].copy()
+        df["ts"] = ts
     log["ts_regression_convs"] = sorted(map(str, reg_convs))
 
     # chunked conversion: one giant chunk would overflow arrow's 32-bit
