@@ -625,24 +625,15 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 
 
 def q_embeddings_cos_pairs(spark, sf_dir):
-    """Brute-force all-pairs embedding similarity join (the exact baseline;
-    operators/similarity.lsh_cosine_pairs is the 100 TB scale path).
-    Cosine stays JVM-side via higher-order functions; the smaller side is
-    broadcast so no shuffle."""
-    from jsonschema_infer_spark.operators.similarity import cosine
+    """Exact all-pairs embedding similarity (the baseline the ANN variants
+    approximate): blocked BLAS matmul against the broadcast side via
+    mapInPandas — no N^2 materialization on the JVM, one matrix product
+    per Arrow batch. operators/similarity.lsh_cosine_pairs is the 100 TB
+    path when neither side fits."""
+    from jsonschema_infer_spark.operators.similarity import cosine_pairs_exact
 
     df = _load(spark, sf_dir, "embeddings")
-    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
-    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
-    sim = F.round(
-        cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")),
-        4,
-    )
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.45)
-    )
+    return cosine_pairs_exact(df, threshold=0.45)
 
 
 SQL_EMBEDDINGS_COS_PAIRS = """
