@@ -492,6 +492,16 @@ def infer_dataframe(
         )
     if mode == "json" and not json_column:
         raise ValueError("json mode requires json_column")
+    if mode in ("adaptive", "auto"):
+        from .infer_adaptive import adaptive_applicable, infer_dataframe_adaptive
+
+        if adaptive_applicable(df, config):
+            return infer_dataframe_adaptive(df, config)
+        if mode == "adaptive":
+            raise ValueError(
+                "adaptive inference not applicable to this DataFrame/config"
+            )
+        mode = "columnar"
 
     t0 = time.time()
     if config.max_samples > 0:

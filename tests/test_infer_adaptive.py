@@ -1,0 +1,105 @@
+"""Adaptive (JVM-agg + probe) inference must produce states and schemas
+value-identical to the classic arrow fold."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+
+
+def _norm_state(st):
+    if st is None:
+        return None
+    out = {}
+    for k, v in st.items():
+        if k == "props":
+            out[k] = {name: _norm_state(c) for name, c in v.items()}
+        elif k == "items":
+            out[k] = _norm_state(v)
+        elif k == "distinct":
+            if v is None:
+                out[k] = None
+            else:
+                out[k] = sorted(repr((t, x)) for t, x in v)
+        elif k == "types":
+            out[k] = {t: n for t, n in v.items() if n}
+        elif k == "const" and v is not None:
+            t, x = v
+            out[k] = (t, "nan") if isinstance(x, float) and math.isnan(x) else v
+        else:
+            out[k] = v
+    return out
+
+
+def _assert_equivalent(df):
+    classic = infer_dataframe(df, num_partitions=4)
+    adaptive = infer_dataframe(df, mode="adaptive")
+    assert adaptive.schema_json == classic.schema_json
+    assert adaptive.total_rows == classic.total_rows
+    assert _norm_state(adaptive.state) == _norm_state(classic.state)
+
+
+def test_transcripts_clean(spark, tx_paths):
+    _assert_equivalent(spark.read.parquet(tx_paths["clean"]))
+
+
+def test_transcripts_violated(spark, tx_paths):
+    _assert_equivalent(spark.read.parquet(tx_paths["viol"]))
+
+
+def test_events_table(spark):
+    _assert_equivalent(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+
+
+def test_edge_columns(spark):
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                42,  # const int
+                2.0,  # integral const float -> integer
+                float("nan") if i == 7 else float(i) / 3.0,
+                float("inf") if i == 3 else float(i),
+                f"550e8400-e29b-41d4-a716-44665544{i % 100:04d}"[:36],
+                f"user{i}@example.com",
+                "" if i % 50 == 0 else f"text value {i % 5}",
+                None,  # all-null string
+                i % 2 == 0,
+                "red" if i % 3 == 0 else ("green" if i % 3 == 1 else "blue"),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "id long, c_int long, c_float double, with_nan double, with_inf double, "
+        "uuid_col string, email_col string, texty string, nul string, "
+        "flag boolean, enum3 string",
+    )
+    _assert_equivalent(df)
+
+
+def test_timestamp_fractions(spark):
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (TIMESTAMP'2026-01-01 00:00:00'),
+          (TIMESTAMP'2026-01-01 00:00:00.5'),
+          (TIMESTAMP'2026-01-01 00:00:00.123'),
+          (TIMESTAMP'2026-01-01 00:00:00.123456'),
+          (CAST(NULL AS TIMESTAMP))
+        AS t(ts)
+        """
+    )
+    _assert_equivalent(df)
+
+
+def test_adaptive_rejects_nested(spark):
+    df = spark.range(3).select(F.struct("id").alias("s"))
+    with pytest.raises(ValueError):
+        infer_dataframe(df, mode="adaptive")
+    # auto silently falls back
+    res = infer_dataframe(df, mode="auto")
+    assert res.total_rows == 3
