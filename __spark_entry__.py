@@ -706,6 +706,25 @@ def q_infer_events_schema(spark, sf_dir):
     )
 
 
+def q_infer_props_json_schema(spark, sf_dir):
+    """Nested-JSON inference (fold_batches_json): infer the schema of the
+    events.props payload column — arbitrary nesting, exact ObserveValue
+    semantics (rows-only: no DuckDB equivalent of the type-lattice fold)."""
+    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+
+    df = _load(spark, sf_dir, "events")
+    res = infer_dataframe(df, mode="json", json_column="props", num_partitions=8)
+    props = res.schema.get("properties", {})
+    required = set(res.schema.get("required", []))
+    rows = [
+        (name, str(p.get("type")), name in required, p.get("format", ""))
+        for name, p in sorted(props.items())
+    ]
+    return spark.createDataFrame(
+        rows, "property string, type string, required boolean, format string"
+    )
+
+
 def q_minhash_dups_docs(spark, sf_dir):
     from jsonschema_infer_spark.operators.dedup import minhash_lsh_pairs
 
@@ -798,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_label_profile": q_embeddings_label_profile,
         # rows-only (no oracle)
         "infer_events_schema": q_infer_events_schema,
+        "infer_props_json_schema": q_infer_props_json_schema,
         "transcript_verdicts": q_transcript_verdicts,
         "embeddings_lsh_pairs": q_embeddings_lsh_pairs,
         "embeddings_ivf_topk": q_embeddings_ivf_topk,
