@@ -357,6 +357,45 @@ SQL_UNREFERENCED_PARTS = (
 )
 
 
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average-quantity threshold.
+    Decomposed as groupBy + broadcast join (what Catalyst's decorrelation
+    produces); the threshold comparison is kept in exact decimal integer
+    form (qty * 5 * cnt < sum_qty <=> qty < 0.2 * avg) so both engines
+    agree bit-for-bit on borderline rows."""
+    li, part = _load(spark, sf_dir, "lineitem", "part")
+    qty = F.col("l_quantity").cast("decimal(14,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    j = (
+        li.join(F.broadcast(brand), li.l_partkey == F.col("p_partkey"))
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(qty * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+    )
+    return j.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH per_part AS (
+  SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS small_qty_revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+JOIN per_part ON per_part.pk = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(14,2)) * 5 * cnt < sum_qty
+"""
+
+
 def q_customers_per_nation(spark, sf_dir):
     region, nation, cust = _load(spark, sf_dir, "region", "nation", "customer")
     return (
@@ -805,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_order_per_customer": q_best_order_per_customer,
         "segment_intersect": q_segment_intersect,
         "unreferenced_parts": q_unreferenced_parts,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "customers_per_nation": q_customers_per_nation,
         # training-data ops
         "docs_token_stats": q_docs_token_stats,
@@ -845,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
         "best_order_per_customer": SQL_BEST_ORDER,
         "segment_intersect": SQL_SEGMENT_INTERSECT,
         "unreferenced_parts": SQL_UNREFERENCED_PARTS,
+        "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
         "customers_per_nation": SQL_CUSTOMERS_PER_NATION,
         "docs_token_stats": SQL_DOCS_TOKEN_STATS,
         "docs_quality": SQL_DOCS_QUALITY,
