@@ -596,6 +596,34 @@ FROM h
 """
 
 
+_EMAIL_RX = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+_URL_RX = r"https?://[^ \t\n]+"
+
+
+def q_docs_pii_scan(spark, sf_dir):
+    """PII/link scan over documents: per-doc counts of email-shaped and
+    URL-shaped substrings (the same shapes functions/formats.py detects
+    for schema inference, reused as extraction patterns)."""
+    df = _load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RX), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL_RX), F.lit(0))).alias(
+            "n_urls"
+        ),
+    )
+
+
+SQL_DOCS_PII_SCAN = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_EMAIL_RX}')) AS n_emails,
+  len(regexp_extract_all(text, 'https?://[^ \\t\\n]+')) AS n_urls
+FROM documents
+"""
+
+
 def q_docs_exact_dedup(spark, sf_dir):
     from jsonschema_infer_spark.operators.dedup import exact_duplicate_groups
 
@@ -851,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_langid": q_docs_langid,
         "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_pii_scan": q_docs_pii_scan,
         "docs_top_jaccard": q_docs_top_jaccard,
         "embeddings_topk": q_embeddings_topk,
         "embeddings_cos_pairs": q_embeddings_cos_pairs,
@@ -891,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": SQL_DOCS_QUALITY,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+        "docs_pii_scan": SQL_DOCS_PII_SCAN,
         "docs_top_jaccard": SQL_DOCS_TOP_JACCARD,
         "embeddings_topk": SQL_EMBEDDINGS_TOPK,
         "embeddings_cos_pairs": SQL_EMBEDDINGS_COS_PAIRS,
