@@ -306,6 +306,31 @@ SQL_ORDERS_ROLLUP = (
 )
 
 
+def q_orders_cube(spark, sf_dir):
+    """Grouping-sets coverage via CUBE over status x priority, with
+    grouping_id so the driver's value-hash distinguishes subtotal levels."""
+    df = _load(spark, sf_dir, "orders")
+    return (
+        df.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
+
+
+SQL_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderstatus IS NULL AND o_orderpriority IS NULL THEN 3
+            WHEN o_orderpriority IS NULL THEN 1
+            WHEN o_orderstatus IS NULL THEN 2
+            ELSE 0 END AS gid,
+       count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_best_order_per_customer(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -869,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "top_customers": q_top_customers,
         "orders_rollup": q_orders_rollup,
+        "orders_cube": q_orders_cube,
         "best_order_per_customer": q_best_order_per_customer,
         "segment_intersect": q_segment_intersect,
         "unreferenced_parts": q_unreferenced_parts,
@@ -911,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": SQL_REGION_REVENUE,
         "top_customers": SQL_TOP_CUSTOMERS,
         "orders_rollup": SQL_ORDERS_ROLLUP,
+        "orders_cube": SQL_ORDERS_CUBE,
         "best_order_per_customer": SQL_BEST_ORDER,
         "segment_intersect": SQL_SEGMENT_INTERSECT,
         "unreferenced_parts": SQL_UNREFERENCED_PARTS,
