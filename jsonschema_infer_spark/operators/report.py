@@ -1,0 +1,83 @@
+"""One-call validation run with durable sinks (SURVEY.md §2.3 "Sinks"):
+
+    schema.json        the inferred schema (Go-byte-compatible render)
+    violations.parquet violating rows with per-row reason arrays
+    verdicts.parquet   per-bucket pass/fail + per-constraint counts
+    metrics.json       run metrics: rows, per-constraint totals,
+                       uniqueness/ordering summary, wall seconds
+
+This is the batch pipeline the benchmarks time, packaged as an operator a
+user can point at a table and an output directory. All sinks are plain
+files/parquet so a downstream system (or the checkpoint/resume machinery
+in ``checkpoint.py``) can consume them."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+from ..config import InferConfig
+from .infer_spark import infer_dataframe
+from . import validate as V
+
+
+def run_validation_report(
+    df: DataFrame,
+    out_dir: str,
+    config: InferConfig | None = None,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    num_buckets: int = 64,
+    keep_cols: list | None = None,
+    reference=None,
+) -> dict:
+    """``reference`` (an InferResult from a trusted snapshot) switches the
+    run from self-validation to drift-style validation: constraints come
+    from the reference schema, so anomalies in ``df`` are reported instead
+    of being absorbed into a freshly inferred schema (a null in a required
+    column would otherwise just make the column optional)."""
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+
+    res = reference if reference is not None else infer_dataframe(df, config)
+    cons = V.compile_constraints(res.schema, state=res.state, df=df)
+
+    with open(os.path.join(out_dir, "schema.json"), "w") as f:
+        f.write(res.schema_json)
+
+    has_keys = conv_col in df.columns and idx_col in df.columns
+    keep = keep_cols if keep_cols is not None else (
+        [conv_col, idx_col] if has_keys else df.columns[:1]
+    )
+    V.violations(df, cons, keep_cols=keep).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "violations.parquet")
+    )
+
+    bucket_col = conv_col if conv_col in df.columns else df.columns[0]
+    verdicts = V.partition_verdicts(
+        df, cons, bucket_col=bucket_col, num_buckets=num_buckets
+    )
+    verdicts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "verdicts.parquet")
+    )
+
+    counts = {
+        r.constraint: int(r.violation_count)
+        for r in V.violation_counts(df, cons).collect()
+    }
+    metrics = {
+        "rows": df.count() if reference is not None else res.total_rows,
+        "constraints": counts,
+        "violation_total": int(sum(counts.values())),
+        "wall_secs": round(time.time() - t0, 3),
+    }
+    if has_keys:
+        metrics["integrity"] = V.transcript_integrity_summary(
+            df, conv_col, idx_col
+        )
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, sort_keys=True)
+    return metrics
