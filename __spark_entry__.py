@@ -306,6 +306,57 @@ SQL_ORDERS_ROLLUP = (
 )
 
 
+def q_lineitem_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per return flag (Spark `percentile`
+    == DuckDB `quantile_cont`: both linear interpolation on the sorted
+    values)."""
+    df = _load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.percentile(q, F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile(q, F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile(q, F.lit(0.75)), 4).alias("q75"),
+        F.max(q).alias("q_max"),
+    )
+
+
+SQL_LINEITEM_QUANTILES = """
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+  round(quantile_cont(l_quantity, 0.5), 4) AS median,
+  round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+  max(l_quantity) AS q_max
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_events_value_hist(spark, sf_dir):
+    """Fixed-width histogram of events.value — the same bucketing the
+    KS-drift scale path (drift._hist_ks_d) uses, exposed as a query with
+    an explicit floor-based bucket so both engines bin identically."""
+    df = _load(spark, sf_dir, "events")
+    v = F.col("value")
+    lo, hi, nb = 0.0, 1000.0, 20
+    w = (hi - lo) / nb
+    bucket = F.when(v < lo, -1).when(v >= hi, nb).otherwise(
+        F.floor((v - F.lit(lo)) / F.lit(w))
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EVENTS_VALUE_HIST = """
+SELECT CAST(CASE WHEN value < 0.0 THEN -1
+            WHEN value >= 1000.0 THEN 20
+            ELSE floor((value - 0.0) / 50.0) END AS INT) AS bucket,
+       count(*) AS n
+FROM events WHERE value IS NOT NULL GROUP BY 1
+"""
+
+
 def q_orders_cube(spark, sf_dir):
     """Grouping-sets coverage via CUBE over status x priority, with
     grouping_id so the driver's value-hash distinguishes subtotal levels."""
@@ -895,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
+        "lineitem_quantiles": q_lineitem_quantiles,
+        "events_value_hist": q_events_value_hist,
         "best_order_per_customer": q_best_order_per_customer,
         "segment_intersect": q_segment_intersect,
         "unreferenced_parts": q_unreferenced_parts,
@@ -938,6 +991,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": SQL_TOP_CUSTOMERS,
         "orders_rollup": SQL_ORDERS_ROLLUP,
         "orders_cube": SQL_ORDERS_CUBE,
+        "lineitem_quantiles": SQL_LINEITEM_QUANTILES,
+        "events_value_hist": SQL_EVENTS_VALUE_HIST,
         "best_order_per_customer": SQL_BEST_ORDER,
         "segment_intersect": SQL_SEGMENT_INTERSECT,
         "unreferenced_parts": SQL_UNREFERENCED_PARTS,
