@@ -261,8 +261,11 @@ def observe_arrow_column(
                 st["distinct"] = None
             else:
                 for val in u.tolist():
-                    tag = "integer" if val == int(val) else "number"
-                    _add_distinct(st, tag, [int(val) if tag == "integer" else val])
+                    # finiteness guard: int(inf) overflows; +-Inf is
+                    # "number" (get_primitive_type semantics)
+                    integral = math.isfinite(val) and val == int(val)
+                    tag = "integer" if integral else "number"
+                    _add_distinct(st, tag, [int(val) if integral else val])
 
     elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
         st["n"] += n
@@ -475,6 +478,7 @@ def infer_dataframe(
     mode: str = "columnar",
     json_column: str | None = None,
     num_partitions: int | None = None,
+    sample_rows: int | None = None,
 ) -> InferResult:
     """Run distributed inference over ``df`` and finalize on the driver.
 
@@ -493,10 +497,16 @@ def infer_dataframe(
     if mode == "json" and not json_column:
         raise ValueError("json mode requires json_column")
     if mode in ("adaptive", "auto"):
-        from .infer_adaptive import adaptive_applicable, infer_dataframe_adaptive
+        from .infer_adaptive import (
+            _SAMPLE_ROWS,
+            adaptive_applicable,
+            infer_dataframe_adaptive,
+        )
 
         if adaptive_applicable(df, config):
-            return infer_dataframe_adaptive(df, config)
+            return infer_dataframe_adaptive(
+                df, config, sample_rows=sample_rows or _SAMPLE_ROWS
+            )
         if mode == "adaptive":
             raise ValueError(
                 "adaptive inference not applicable to this DataFrame/config"
