@@ -69,14 +69,14 @@ def run_transcript_pipeline(spark, path: str) -> dict:
     from pyspark.sql import functions as F
 
     from jsonschema_infer_spark.operators import validate as V
-    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+    from jsonschema_infer_spark.operators.infer_spark import infer_parquet
 
     df = spark.read.parquet(path)
     t0 = time.time()
-    res = infer_dataframe(df)
+    res = infer_parquet(spark, path)
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
     agg = V.violation_counts(df, cons).collect()
-    integ = V.transcript_integrity_summary(df)
+    integ = V.transcript_integrity_parquet(spark, path)
     secs = time.time() - t0
     rows = res.total_rows
     return {

@@ -39,7 +39,7 @@ def main():
     cores = spark.sparkContext.defaultParallelism
 
     from jsonschema_infer_spark.operators import validate as V
-    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+    from jsonschema_infer_spark.operators.infer_spark import infer_parquet
 
     df = spark.read.parquet(args.data)
 
@@ -52,7 +52,9 @@ def main():
     warm.mapInArrow(lambda it: it, "id long").count()
 
     t0 = time.time()
-    res = infer_dataframe(df)
+    # native-reader path: tasks fold straight off pyarrow row-group scans,
+    # skipping Spark's columnar->row->arrow double conversion
+    res = infer_parquet(spark, args.data)
     t_infer = time.time() - t0
     t = time.time()
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
@@ -61,7 +63,7 @@ def main():
     agg = V.violation_counts(df, cons).collect()
     t_viol = time.time() - t
     t = time.time()
-    integ = V.transcript_integrity_summary(df)
+    integ = V.transcript_integrity_parquet(spark, args.data)
     n_dup = integ["dup_rows_excess"]
     n_ord = integ["ordering_violations"]
     t_integrity = time.time() - t

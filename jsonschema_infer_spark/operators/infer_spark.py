@@ -181,6 +181,11 @@ def observe_arrow_column(
     semantics (nulls observed, node.go:124-134) from object-property
     semantics (nulls skipped, node.go:136-149)."""
     typ = arr.type
+    if pa.types.is_dictionary(typ):
+        # direct parquet reads restore dictionary encoding from the
+        # embedded arrow schema; observation semantics are value-level
+        observe_arrow_column(st, arr.cast(typ.value_type), config, count_nulls)
+        return
     n_total = len(arr)
     n_null = arr.null_count
     n = n_total - n_null
@@ -463,6 +468,98 @@ def _make_fold(config: InferConfig, mode: str, json_column):
         )
 
     return fn
+
+
+def _list_rg_tasks(paths: list, rg_per_task: int) -> list:
+    """(file, row_group_lo, row_group_hi) work units — the same split
+    granularity a native parquet reader schedules."""
+    import pyarrow.parquet as pq
+
+    tasks = []
+    for f in paths:
+        n = pq.ParquetFile(f).metadata.num_row_groups
+        for i in range(0, max(n, 1), rg_per_task):
+            tasks.append((f, i, min(i + rg_per_task, n)))
+    return tasks
+
+
+def infer_parquet(
+    spark,
+    path: str,
+    config: InferConfig | None = None,
+    mode: str = "columnar",
+    json_column: str | None = None,
+    rg_per_task: int = 4,
+) -> InferResult:
+    """Distributed inference reading parquet DIRECTLY in python tasks.
+
+    ``mapInArrow`` pays Spark's columnar->row->arrow double conversion on
+    every row (measured 27s vs 6.4s single-core on a 10.4M-row table);
+    since inference observes whole columns with no predicate to push down,
+    the idiomatic fix is the native-reader pattern: schedule (file,
+    row-group-range) splits as Spark tasks and let each task run the
+    vectorized fold straight off the (memory-mapped, column-pruned-free)
+    pyarrow scan. Results are value-identical to infer_dataframe — the
+    fold and merge are the same code; tests byte-compare.
+
+    Executors must see the files (posix path or shared FS). For Iceberg
+    tables use infer_dataframe on the catalog read instead."""
+    import glob as _glob
+    import os
+
+    config = config or default_config()
+    if config.examples:
+        raise NotImplementedError("examples capture is order-dependent")
+    if config.max_samples > 0:
+        raise ValueError("max_samples: use infer_dataframe (limit pushdown)")
+    if mode == "json" and not json_column:
+        raise ValueError("json mode requires json_column")
+
+    t0 = time.time()
+    if os.path.isdir(path):
+        paths = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+        )
+    else:
+        paths = [path]
+    tasks = _list_rg_tasks(paths, rg_per_task)
+
+    def fold_task(spec):
+        import pyarrow.parquet as pq
+
+        f, lo, hi = spec
+        pf = pq.ParquetFile(f)
+        rgs = list(range(lo, hi)) if hi > lo else []
+        batches = pf.iter_batches(batch_size=10_000, row_groups=rgs)
+        if mode == "json":
+            st, rows = fold_batches_json(batches, config, json_column)
+        else:
+            st, rows = fold_batches_columnar(batches, config)
+        return st, rows
+
+    rdd = spark.sparkContext.parallelize(tasks, max(len(tasks), 1)).map(fold_task)
+    if len(tasks) > _TREE_REDUCE_THRESHOLD:
+        depth = max(2, int(math.ceil(math.log(max(len(tasks), 2), 64))))
+        merged, total_rows = rdd.treeReduce(
+            lambda a, b: (S.merge(a[0], b[0]), a[1] + b[1]), depth=depth
+        )
+    else:
+        pairs = rdd.collect()
+        merged = merge_states([p[0] for p in pairs])
+        total_rows = sum(p[1] for p in pairs)
+
+    schema = S.finalize(merged, config)
+    return InferResult(
+        state=merged,
+        config=config,
+        schema=schema,
+        schema_json=render_schema(schema, config.indent),
+        total_rows=total_rows,
+        partitions=[(i, 0, 0.0) for i in range(len(tasks))],
+        wall_secs=time.time() - t0,
+    )
 
 
 def merge_states(states: list) -> dict:

@@ -337,6 +337,10 @@ def transcript_integrity_summary(
         _integrity_fold(conv_col, idx_col),
         "conv string, n long, mn int, mx int, turns array<int>",
     )
+    return _integrity_reduce(partials)
+
+
+def _integrity_reduce(partials: DataFrame) -> dict:
     g = partials.groupBy("conv").agg(
         F.sum("n").alias("n_turns"),
         F.min("mn").alias("min_idx"),
@@ -358,6 +362,76 @@ def transcript_integrity_summary(
         "dup_rows_excess": int(row.dup_rows_excess or 0),
         "ordering_violations": int(row.ordering_violations or 0),
     }
+
+
+def transcript_integrity_parquet(
+    spark,
+    path: str,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    rg_per_task: int = 4,
+) -> dict:
+    """transcript_integrity_summary via the native-reader pattern: tasks
+    read ONLY (conv, turn) from parquet row groups with pyarrow (skipping
+    Spark's columnar->row->arrow conversion), pre-aggregate per conv with
+    C++ hash_distinct, and return their partials as arrow IPC bytes — a
+    few MB total — which feed the same exact JVM reduce. Identical result
+    to transcript_integrity_summary on the same data."""
+    import io
+
+    import pyarrow as pa
+
+    from .infer_spark import _list_rg_tasks
+
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        paths = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+        )
+    else:
+        paths = [path]
+    tasks = _list_rg_tasks(paths, rg_per_task)
+    fold = _integrity_fold(conv_col, idx_col)
+
+    def run(spec):
+        import pyarrow.parquet as pq
+
+        f, lo, hi = spec
+        pf = pq.ParquetFile(f)
+        batches = pf.iter_batches(
+            batch_size=65536,
+            row_groups=list(range(lo, hi)),
+            columns=[conv_col, idx_col],
+        )
+
+        def plain(bs):
+            for b in bs:
+                cols = [
+                    c.cast(c.type.value_type)
+                    if pa.types.is_dictionary(c.type)
+                    else c
+                    for c in b.columns
+                ]
+                yield pa.RecordBatch.from_arrays(cols, names=b.schema.names)
+
+        out = list(fold(plain(batches)))
+        sink = io.BytesIO()
+        if out:
+            with pa.ipc.new_stream(sink, out[0].schema) as w:
+                for b in out:
+                    w.write_batch(b)
+        return sink.getvalue()
+
+    blobs = spark.sparkContext.parallelize(tasks, max(len(tasks), 1)).map(run).collect()
+    tables = [pa.ipc.open_stream(b).read_all() for b in blobs if b]
+    if not tables:
+        return {"dup_rows_excess": 0, "ordering_violations": 0}
+    partials = spark.createDataFrame(pa.concat_tables(tables))
+    return _integrity_reduce(partials)
 
 
 def ts_regressions(

@@ -96,6 +96,18 @@ def test_timestamp_fractions(spark):
     _assert_equivalent(df)
 
 
+def test_infer_parquet_matches_mapinarrow(spark, tx_paths):
+    from jsonschema_infer_spark.operators.infer_spark import infer_parquet
+
+    for key in ("clean", "viol"):
+        path = tx_paths[key]
+        a = infer_parquet(spark, path, rg_per_task=1)
+        b = infer_dataframe(spark.read.parquet(path), num_partitions=4)
+        assert a.schema_json == b.schema_json
+        assert a.total_rows == b.total_rows
+        assert _norm_state(a.state) == _norm_state(b.state)
+
+
 def test_adaptive_rejects_nested(spark):
     df = spark.range(3).select(F.struct("id").alias("s"))
     with pytest.raises(ValueError):

@@ -90,6 +90,13 @@ def test_integrity_summary_matches_separate_operators(compiled):
     assert clean_summ == {"dup_rows_excess": 0, "ordering_violations": 0}
 
 
+def test_integrity_parquet_native_matches(spark, tx_paths):
+    viol = spark.read.parquet(tx_paths["viol"])
+    assert V.transcript_integrity_parquet(
+        spark, tx_paths["viol"], rg_per_task=1
+    ) == V.transcript_integrity_summary(viol)
+
+
 def test_ts_regressions_match_injections(compiled):
     res, cons, clean, viol, log = compiled
     got_convs = {r.conv_id for r in V.ts_regressions(viol).collect()}
