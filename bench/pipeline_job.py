@@ -63,7 +63,10 @@ def main():
     agg = V.violation_counts(df, cons).collect()
     t_viol = time.time() - t
     t = time.time()
-    integ = V.transcript_integrity_parquet(spark, args.data)
+    # the fully-distributed form: its reduce parallelizes, unlike the
+    # driver-merge parquet variant (fastest at low core counts but
+    # serial-capped — see transcript_integrity_parquet docstring)
+    integ = V.transcript_integrity_summary(df)
     n_dup = integ["dup_rows_excess"]
     n_ord = integ["ordering_violations"]
     t_integrity = time.time() - t

@@ -364,6 +364,41 @@ def _integrity_reduce(partials: DataFrame) -> dict:
     }
 
 
+def _merge_partials_local(table) -> dict:
+    """Vectorized driver-side merge of per-conv partials: numpy/pandas
+    C-paths instead of a 5M-group Spark ObjectHashAggregate. Partials are
+    ~2% of input rows, so this is MBs even for 10^8-turn inputs; beyond
+    that, feed the partials into _integrity_reduce instead."""
+    import numpy as np
+    import pandas as pd
+
+    if table.num_rows == 0:
+        return {"dup_rows_excess": 0, "ordering_violations": 0}
+    pdf = table.to_pandas()
+    codes, _ = pd.factorize(pdf["conv"], sort=False)
+    g = pdf.groupby(codes, sort=True)
+    n_turns = g["n"].sum().to_numpy()
+    mn = g["mn"].min().to_numpy()
+    mx = g["mx"].max().to_numpy()
+    turns = pdf["turns"].to_numpy()
+    lens = np.fromiter((len(t) for t in turns), dtype=np.int64, count=len(turns))
+    rep = np.repeat(codes, lens)
+    allt = (
+        np.concatenate([np.asarray(t, dtype=np.int64) for t in turns])
+        if len(turns)
+        else np.array([], dtype=np.int64)
+    )
+    uniq = pd.DataFrame({"c": rep, "t": allt}).drop_duplicates()
+    n_distinct = (
+        uniq.groupby("c").size().reindex(range(len(n_turns)), fill_value=0)
+    ).to_numpy()
+    bad = (mn != 0) | (mx != n_distinct - 1) | (n_distinct != n_turns)
+    return {
+        "dup_rows_excess": int((n_turns - n_distinct).sum()),
+        "ordering_violations": int(bad.sum()),
+    }
+
+
 def transcript_integrity_parquet(
     spark,
     path: str,
@@ -374,9 +409,14 @@ def transcript_integrity_parquet(
     """transcript_integrity_summary via the native-reader pattern: tasks
     read ONLY (conv, turn) from parquet row groups with pyarrow (skipping
     Spark's columnar->row->arrow conversion), pre-aggregate per conv with
-    C++ hash_distinct, and return their partials as arrow IPC bytes — a
-    few MB total — which feed the same exact JVM reduce. Identical result
-    to transcript_integrity_summary on the same data."""
+    C++ hash_distinct, and merge the collected partials on the driver.
+    Identical result to transcript_integrity_summary on the same data.
+
+    Trade: fastest wall-clock at LOW parallelism (47s vs 75s at 1 core on
+    30M rows) because the map side skips Spark's row pipeline, but the
+    driver merge is serial — at high core counts the fully-distributed
+    transcript_integrity_summary wins and scales (its reduce
+    parallelizes). Pick summary for clusters, this for small boxes."""
     import io
 
     import pyarrow as pa
@@ -430,8 +470,7 @@ def transcript_integrity_parquet(
     tables = [pa.ipc.open_stream(b).read_all() for b in blobs if b]
     if not tables:
         return {"dup_rows_excess": 0, "ordering_violations": 0}
-    partials = spark.createDataFrame(pa.concat_tables(tables))
-    return _integrity_reduce(partials)
+    return _merge_partials_local(pa.concat_tables(tables))
 
 
 def ts_regressions(
