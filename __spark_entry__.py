@@ -160,7 +160,8 @@ WITH g AS (
                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
               THEN 1 ELSE 0 END AS new_session
   FROM events)
-SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
 FROM g GROUP BY user_id HAVING count(*) >= 10
 """
 
@@ -524,8 +525,8 @@ def q_events_type_drift(spark, sf_dir):
 SQL_EVENTS_TYPE_DRIFT = """
 WITH g AS (
   SELECT event_type,
-         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-         sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
   FROM events GROUP BY event_type),
 t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb FROM g)
 SELECT event_type, n_a, n_b,
@@ -582,8 +583,8 @@ c AS (
           / sum(ca) OVER ()
       - sum(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
           / sum(cb) OVER ()) AS diff,
-    sum(ca) OVER () AS n_a,
-    sum(cb) OVER () AS n_b
+    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+    CAST(sum(cb) OVER () AS BIGINT) AS n_b
   FROM g)
 SELECT round(max(diff), 4) AS ks_d, max(n_a) AS n_a, max(n_b) AS n_b FROM c
 """

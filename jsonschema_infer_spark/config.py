@@ -66,10 +66,17 @@ class InferConfig:
 
 
 def default_config(**kwargs) -> InferConfig:
-    """Config with the built-in format registry (jsonschema.go:44-53)."""
+    """Config with the built-in format registry (jsonschema.go:44-53).
+
+    ``custom_formats`` (a sequence of CustomFormat) is appended AFTER the
+    built-ins, matching the reference's WithFormats append semantics
+    (options.go:59-66) — built-ins keep priority on ties. To replace the
+    registry outright, pass ``formats`` instead.
+    """
     from .functions.formats import built_in_formats
 
-    kwargs.setdefault("formats", tuple(built_in_formats()))
+    customs = tuple(kwargs.pop("custom_formats", ()))
+    kwargs.setdefault("formats", tuple(built_in_formats()) + customs)
     if "predefined" in kwargs:
         bad = set(kwargs["predefined"].values()) - PREDEFINED_TYPES
         if bad:

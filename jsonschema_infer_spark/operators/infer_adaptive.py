@@ -53,8 +53,6 @@ examples capture.
 
 from __future__ import annotations
 
-import math
-
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
@@ -115,13 +113,16 @@ def _ts_micros(c: str, dtype) -> F.Column:
 
 
 def _ts_render_len(us: F.Column) -> F.Column:
+    # extra chars = 1 ('.') + (6 - trailing zeros of the 6-digit fraction);
+    # frac=500000 renders ".5" -> 2 (asserted against _render_ts_us in tests)
     frac = F.pmod(us, F.lit(1_000_000))
     fl = (
         F.when(frac == 0, 0)
-        .when(frac % 100_000 == 0, 3)
-        .when(frac % 10_000 == 0, 4)
-        .when(frac % 1_000 == 0, 5)
-        .when(frac % 100 == 0, 6)
+        .when(frac % 100_000 == 0, 2)
+        .when(frac % 10_000 == 0, 3)
+        .when(frac % 1_000 == 0, 4)
+        .when(frac % 100 == 0, 5)
+        .when(frac % 10 == 0, 6)
         .otherwise(7)
     )
     return F.lit(20) + fl
@@ -140,10 +141,18 @@ def _agg_exprs(c: str, kind: str, dtype, need_const: bool) -> list:
     elif kind == "double":
         d = col.cast("double")
         finite = d.isNotNull() & ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+        # Go demotion = int64 round-trip (node.go:296-301): Spark's floor()
+        # clamps to Long range so floor(d)==d already rejects |d| > 2^63,
+        # but at exactly d == 2^63 the clamped long rounds back equal —
+        # the explicit range bound keeps that edge "number" like Go
+        go_int = (
+            finite
+            & (F.floor(d) == d)
+            & (d >= F.lit(S.INT64_MIN_F))
+            & (d < F.lit(S.INT64_MAX_EXCL_F))
+        )
         out += [
-            F.sum(F.when(finite & (F.floor(d) == d), 1).otherwise(0)).alias(
-                f"{c}__nint"
-            ),
+            F.sum(F.when(go_int, 1).otherwise(0)).alias(f"{c}__nint"),
             F.sum(F.when(F.isnan(d), 1).otherwise(0)).alias(f"{c}__nnan"),
             F.min(F.when(~F.isnan(d), d)).alias(f"{c}__mn"),
             F.max(F.when(~F.isnan(d), d)).alias(f"{c}__mx"),
@@ -353,7 +362,7 @@ def infer_dataframe_adaptive(
                     st["const"], st["const_set"] = ("number", float("nan")), True
             elif row[f"{c}__mn"] == row[f"{c}__mx"]:
                 v = float(row[f"{c}__mn"])
-                integral = math.isfinite(v) and v == int(v)
+                integral = S.is_go_integral(v)
                 st["const"] = ("integer", int(v)) if integral else ("number", v)
                 st["const_set"] = True
             else:
@@ -361,7 +370,7 @@ def infer_dataframe_adaptive(
 
             def tagger(v):
                 fv = float(v)
-                if math.isfinite(fv) and fv == int(fv):
+                if S.is_go_integral(fv):
                     return ("integer", int(fv))
                 return ("number", fv)
 

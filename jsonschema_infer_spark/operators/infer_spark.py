@@ -236,8 +236,14 @@ def observe_arrow_column(
         st["n"] += n
         v = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
         finite = np.isfinite(v)
+        # Go demotion = exact int64 round-trip (node.go:296-301): integral
+        # AND inside [-2^63, 2^63) — 1e19 stays "number"
         integral = np.zeros(len(v), dtype=bool)
-        integral[finite] = np.floor(v[finite]) == v[finite]
+        integral[finite] = (
+            (np.floor(v[finite]) == v[finite])
+            & (v[finite] >= S.INT64_MIN_F)
+            & (v[finite] < S.INT64_MAX_EXCL_F)
+        )
         n_int = int(integral.sum())
         if n_int:
             st["types"]["integer"] = st["types"].get("integer", 0) + n_int
@@ -256,7 +262,7 @@ def observe_arrow_column(
             mn, mx = float(v.min()), float(v.max())
             if mn == mx:
                 val = mn
-                tag = "integer" if (math.isfinite(val) and val == int(val)) else "number"
+                tag = "integer" if S.is_go_integral(val) else "number"
                 _latch_const(st, tag, int(val) if tag == "integer" else val)
             else:
                 _const_differs(st)
@@ -266,11 +272,10 @@ def observe_arrow_column(
                 st["distinct"] = None
             else:
                 for val in u.tolist():
-                    # finiteness guard: int(inf) overflows; +-Inf is
-                    # "number" (get_primitive_type semantics)
-                    integral = math.isfinite(val) and val == int(val)
-                    tag = "integer" if integral else "number"
-                    _add_distinct(st, tag, [int(val) if integral else val])
+                    # is_go_integral guards int(inf) overflow AND the
+                    # |v| >= 2^63 clamp (get_primitive_type semantics)
+                    tag = "integer" if S.is_go_integral(val) else "number"
+                    _add_distinct(st, tag, [int(val) if tag == "integer" else val])
 
     elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
         st["n"] += n
@@ -305,12 +310,14 @@ def observe_arrow_column(
         us = arr.cast(pa.timestamp("us")).cast(pa.int64()).drop_null()
         v = us.to_numpy(zero_copy_only=False)
         frac = v % 1_000_000
-        # rendered length: 20 + (1 + digits of trimmed fraction) when frac>0
+        # rendered length: 20 + 1('.') + (6 - trailing zeros) when frac>0,
+        # e.g. frac=500000 renders ".5" -> extra 2 (asserted against
+        # _render_ts_us in tests/test_render.py)
         fl = np.zeros(len(v), dtype=np.int64)
         nonzero = frac > 0
-        fl[nonzero] = 7  # '.' + 6 digits
-        for p, keep in ((10, 6), (100, 5), (1000, 4), (10000, 3), (100000, 2)):
-            fl[nonzero & (frac % p == 0)] = keep + 1
+        fl[nonzero] = 7  # '.' + 6 digits, no trailing zeros
+        for p, extra in ((10, 6), (100, 5), (1000, 4), (10000, 3), (100000, 2)):
+            fl[nonzero & (frac % p == 0)] = extra
         lens = 20 + fl
         if len(lens):
             _track_lens(st, int(lens.min()), int(lens.max()))
@@ -378,7 +385,7 @@ def observe_arrow_column(
     ):
         st["n"] += n
         st["types"]["array"] = st["types"].get("array", 0) + n
-        _const_differs(st) if n > 0 and False else None  # arrays never touch const
+        # arrays never touch the const latch (node.go:79: primitives only)
         if st["items"] is None:
             st["items"] = S.new_state()
         # flatten drops null lists' slots; null ELEMENTS inside lists remain

@@ -37,11 +37,30 @@ def add_salt(df: DataFrame, buckets: int = 16, col_name: str = "_salt") -> DataF
     )
 
 
-def salted_count(df: DataFrame, keys: list, buckets: int = 16) -> DataFrame:
+def salted_count(
+    df: DataFrame, keys: list, buckets: int = 16, salt_cols: list | None = None
+) -> DataFrame:
     """groupBy(keys).count() for Zipf-hot keys: phase 1 counts per
     (keys, salt) shard — hot keys spread over ``buckets`` reducers — and
-    phase 2 sums the (already tiny) shard counts per key."""
-    salted = add_salt(df.select(*keys), buckets)
+    phase 2 sums the (already tiny) shard counts per key.
+
+    The salt must carry NON-KEY entropy: hashing only the group keys makes
+    the salt a deterministic function of the key, so every row of a hot key
+    lands in one shard and the mitigation is a no-op. With ``salt_cols``
+    the salt is a stable hash of those per-row columns (e.g. turn_idx —
+    reproducible across runs); without, rows round-robin on a
+    partition-local row position, which spreads hot keys evenly. The salt
+    only shapes the intermediate shuffle, never the final counts, so
+    run-to-run salt stability is not required for correctness."""
+    if salt_cols:
+        salted = df.select(*keys, *salt_cols).withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(buckets)),
+        )
+    else:
+        salted = df.select(*keys).withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+        )
     shards = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("c"))
     return shards.groupBy(*keys).agg(F.sum("c").alias("count"))
 

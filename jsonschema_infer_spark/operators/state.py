@@ -27,15 +27,34 @@ import math
 # Distinct values tracked per node before the enum sketch overflows.
 DISTINCT_LIMIT = 64
 
+# Go's integral-float demotion is an int64 round-trip (node.go:296-301):
+# v == float64(int64(v)). The conversion clamps outside int64 range, so any
+# float with |v| >= 2^63 fails the round-trip and stays "number" (2^63
+# itself is exactly representable as float64 but not as int64).
+INT64_MIN_F = float(-(2**63))
+INT64_MAX_EXCL_F = float(2**63)
+
+
+def is_go_integral(v: float) -> bool:
+    """True iff Go demotes float64 ``v`` to "integer": finite, integral,
+    and an exact int64 round-trip (node.go:296-301)."""
+    return (
+        math.isfinite(v)
+        and INT64_MIN_F <= v < INT64_MAX_EXCL_F
+        and v == math.floor(v)
+    )
+
 
 def get_primitive_type(value) -> str:
     """Value -> one of 7 type names (`/root/reference/node.go:292-313`).
 
     JSON numbers in Go arrive as float64 and integral values demote to
-    "integer"; Python's json gives int for integral literals, so both int
-    and integral float map to "integer". NaN/Inf (impossible from JSON, but
-    possible from parquet floats) are "number", matching Go where the
-    int64 round-trip equality fails for them.
+    "integer" iff they round-trip through int64 (node.go:296-301) — the
+    conversion clamps for |v| >= 2^63, so huge integral floats such as 1e19
+    stay "number". Python's json gives int for integral literals, so int
+    maps to "integer" unconditionally (Go never sees a raw int from JSON).
+    NaN/Inf (impossible from JSON, but possible from parquet floats) are
+    "number": the round-trip equality fails for them too.
     """
     if value is None:
         return "null"
@@ -44,7 +63,7 @@ def get_primitive_type(value) -> str:
     if isinstance(value, int):
         return "integer"
     if isinstance(value, float):
-        if math.isfinite(value) and value.is_integer():
+        if is_go_integral(value):
             return "integer"
         return "number"
     if isinstance(value, str):

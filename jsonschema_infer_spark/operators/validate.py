@@ -248,8 +248,20 @@ def turn_ordering_violations(
     first stage AQE mis-coalesces under high parallelism (measured 41s vs
     11s at local[32] on a 10M-row table); the two-stage form is also the
     shape that salts naturally at 100 TB (the (conv, turn) stage shards
-    hot conversations across reducers by turn_idx)."""
-    g1 = df.groupBy(conv_col, idx_col).agg(F.count(F.lit(1)).alias("c"))
+    hot conversations across reducers by turn_idx).
+
+    NULL-key policy (shared with transcript_integrity_summary, which
+    drops null keys in its arrow fold): rows with a NULL conv_id or NULL
+    turn_idx are excluded from the ordering check — they are flagged by
+    the required-column row constraints instead. This also preserves the
+    count_distinct semantics the two-stage form replaces (count_distinct
+    ignores NULLs; a naive groupBy would count the NULL group as one
+    distinct turn and shift 'dup' verdicts to 'gap')."""
+    g1 = (
+        df.where(F.col(conv_col).isNotNull() & F.col(idx_col).isNotNull())
+        .groupBy(conv_col, idx_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     g = g1.groupBy(conv_col).agg(
         F.sum("c").alias("n_turns"),
         F.min(idx_col).alias("min_idx"),

@@ -115,3 +115,49 @@ def test_adaptive_rejects_nested(spark):
     # auto silently falls back
     res = infer_dataframe(df, mode="auto")
     assert res.total_rows == 3
+
+
+def test_huge_double_demotion(spark):
+    # Go's int64 round-trip rule (node.go:296-301): |v| >= 2^63 integral
+    # floats are "number"; -2^63 is exactly representable -> "integer"
+    rows = [
+        (1e19,),
+        (-3.4028e38,),
+        (float(2**63),),
+        (float(-(2**63)),),
+        (5.0,),
+        (2.5,),
+    ]
+    df = spark.createDataFrame(rows, "d double")
+    _assert_equivalent(df)
+    classic = infer_dataframe(df, num_partitions=2)
+    st = classic.state["props"]["d"]
+    assert st["types"] == {"number": 4, "integer": 2}
+    tags = dict((v, t) for t, v in st["distinct"])
+    assert tags[5] == "integer" and tags[2.5] == "number"
+    assert tags[1e19] == "number" and tags[float(2**63)] == "number"
+    assert tags[-(2**63)] == "integer"
+
+
+def test_ts_render_len_matches_actual_render(spark):
+    from jsonschema_infer_spark.operators.infer_adaptive import _ts_render_len
+    from jsonschema_infer_spark.operators.infer_spark import _render_ts_us
+
+    base = 1767225600 * 1_000_000
+    fracs = [0, 5, 10, 50, 100, 500, 5000, 50000, 100000, 120000, 123456,
+             500000, 999999, 999990]
+    us_vals = [base + f for f in fracs]
+    df = spark.createDataFrame([(v,) for v in us_vals], "us long")
+    got = [r.l for r in df.select(_ts_render_len(F.col("us")).alias("l")).collect()]
+    want = [len(_render_ts_us(v)) for v in us_vals]
+    assert got == want
+
+
+def test_timestamp_render_len_columnar(spark):
+    # the columnar fold's closed-form length table must equal the actual
+    # trimmed RFC 3339 rendering (frac .5 -> ".5", 2 extra chars)
+    df = spark.sql("SELECT TIMESTAMP'2026-01-01 00:00:00.5' AS ts")
+    res = infer_dataframe(df, num_partitions=1)
+    st = res.state["props"]["ts"]
+    assert st["const"] == ("string", "2026-01-01T00:00:00.5Z")
+    assert st["len_min"] == st["len_max"] == len("2026-01-01T00:00:00.5Z")

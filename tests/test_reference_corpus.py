@@ -628,3 +628,26 @@ def test_empty_string_const_is_emitted():
 def test_false_const_is_emitted():
     g = infer('{"flag": false}', '{"flag": false}')
     assert '"const":false' in g.generate()
+
+
+# --- integral-float demotion at the int64 boundary (node.go:296-301) ---------
+
+
+def test_huge_integral_float_is_number():
+    # Go demotes float64 -> "integer" iff v == float64(int64(v)); the int64
+    # conversion clamps for |v| >= 2^63, so huge integral floats fail the
+    # round-trip and stay "number" (node.go:296-301)
+    s = schema_of('{"v": 1e19}', '{"v": 2e19}')
+    assert s["properties"]["v"]["type"] == "number"
+
+
+def test_int64_boundary_demotion():
+    from jsonschema_infer_spark.operators.state import get_primitive_type
+
+    assert get_primitive_type(float(2**63)) == "number"  # clamps in Go
+    assert get_primitive_type(float(-(2**63))) == "integer"  # exact int64
+    assert get_primitive_type(1.8446e19) == "number"
+    assert get_primitive_type(-3.4028e38) == "number"
+    assert get_primitive_type(9007199254740992.0) == "integer"
+    assert get_primitive_type(float("inf")) == "number"
+    assert get_primitive_type(float("nan")) == "number"
