@@ -34,6 +34,38 @@ def _load(spark: SparkSession, sf_dir: str, *names: str):
     return out[0] if len(out) == 1 else out
 
 
+# Deterministic synthesized tables (violated transcripts, media) are
+# materialized once under .cache so the Spark query and the DuckDB oracle
+# read the SAME parquet bytes. Both the query fns and oracle_sql() trigger
+# materialization — the driver may run either side first.
+_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".cache", "driver_oracle"
+)
+
+
+def _violated_tx_path() -> str:
+    path = os.path.join(_CACHE, "violated_tx_300_s7.parquet")
+    if not os.path.exists(path):
+        from jsonschema_infer_spark.sources.transcripts import (
+            generate_transcripts,
+            inject_violations,
+            write_parquet,
+        )
+
+        os.makedirs(_CACHE, exist_ok=True)
+        table, _log = inject_violations(generate_transcripts(300, seed=7), seed=7)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_parquet(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _media_path() -> str:
+    from jsonschema_infer_spark.operators.multimodal import write_media_parquet
+
+    return write_media_parquet(os.path.join(_CACHE, "media_256_s42.parquet"))
+
+
 # --------------------------------------------------------------------------
 # entry: flagship — infer schema of events, compile constraints, validate
 # --------------------------------------------------------------------------
@@ -541,7 +573,14 @@ def q_events_value_ks(spark, sf_dir):
     """Exact two-sample KS D statistic on `value` between the user_id%2
     halves — declarative twin of operators/drift._exact_ks_d: groupBy on the
     distinct values (map-side combined) then one cumulative window over the
-    tiny distinct-value relation."""
+    distinct-value relation.
+
+    SCALE NOTE: the cumulative window has no partition key — a single task
+    sorts the distinct values, which is fine at test scale (and required
+    for the exact statistic) but a scale-killer on high-cardinality
+    columns. The 100 TB path is operators/drift._hist_ks_d (fixed-width
+    histogram CDFs, no global sort, bounded error); events_value_hist
+    exercises exactly that bucketing under oracle compare."""
     from pyspark.sql import Window
 
     df = _load(spark, sf_dir, "events")
@@ -713,6 +752,47 @@ SQL_DOCS_EXACT_DEDUP = """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        count(*) AS group_size, min(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_docs_jaccard_capped(spark, sf_dir):
+    """The bounded-contract form of n-gram Jaccard dedup: the stop-shingle
+    cap (max_shingle_freq) bounds the inverted-index self-join fan-out —
+    the shape that stays linear-ish at 100 TB — and a real threshold
+    prunes output. docs_top_jaccard remains the uncapped exploratory
+    top-k; this is the form a production dedup pass runs."""
+    from jsonschema_infer_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_freq=5)
+
+
+SQL_DOCS_JACCARD_CAPPED = """
+WITH sh AS (
+  SELECT doc_id AS id, sh.shingle AS shingle
+  FROM documents,
+  LATERAL (
+    SELECT DISTINCT unnest(list_transform(
+      generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), i, i + 2), ' ')
+    )) AS shingle
+  ) sh
+  WHERE len(string_split(sh.shingle, ' ')) = 3
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), freq_ok AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5
+), shc AS (
+  SELECT sh.id, sh.shingle FROM sh JOIN freq_ok USING (shingle)
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.5
 """
 
 
@@ -916,16 +996,81 @@ def q_transcript_verdicts(spark, sf_dir):
     )
 
 
-def q_media_features(spark, sf_dir):
-    from jsonschema_infer_spark.operators.multimodal import (
-        extract_features,
-        synthesize_media,
+def q_transcript_turn_order(spark, sf_dir):
+    """Referential turn-ordering check (north_rule / SURVEY.md §2.5) with a
+    full DuckDB oracle: the deterministic violated transcript table is
+    materialized to parquet so both engines read identical bytes. The
+    reasons array is joined to a stable comma string for the value hash."""
+    from jsonschema_infer_spark.operators.validate import turn_ordering_violations
+
+    df = spark.read.parquet(_violated_tx_path())
+    return turn_ordering_violations(df).select(
+        "conv_id",
+        "n_turns",
+        "min_idx",
+        "max_idx",
+        "n_distinct",
+        F.array_join("reasons", ",").alias("reasons"),
     )
 
-    media = synthesize_media(spark, n=64, seed=42)
+
+def _sql_transcript_turn_order() -> str:
+    return f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, count(*) AS c
+  FROM read_parquet('{_violated_tx_path()}')
+  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+  GROUP BY conv_id, turn_idx),
+a AS (
+  SELECT conv_id, CAST(sum(c) AS BIGINT) AS n_turns, min(turn_idx) AS min_idx,
+         max(turn_idx) AS max_idx, count(*) AS n_distinct
+  FROM g GROUP BY conv_id)
+SELECT conv_id, n_turns, min_idx, max_idx, n_distinct,
+  concat_ws(',',
+    CASE WHEN min_idx <> 0 THEN 'nonzero_start' END,
+    CASE WHEN max_idx <> n_distinct - 1 THEN 'gap' END,
+    CASE WHEN n_distinct <> n_turns THEN 'dup_turn' END) AS reasons
+FROM a
+WHERE min_idx <> 0 OR max_idx <> n_distinct - 1 OR n_distinct <> n_turns
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing with a DuckDB oracle on everything DuckDB can
+    express: payload sha256 / byte length / kind over the materialized
+    media parquet. The deterministic fake feature vector is still computed
+    by the same mapInPandas pass (the codec boundary stays stubbed) but
+    sits outside the compared projection — DuckDB has no equivalent."""
+    from jsonschema_infer_spark.operators.multimodal import extract_features
+
+    media = spark.read.parquet(_media_path())
     return extract_features(media).select(
-        "media_id", "kind", "payload_sha256", "payload_bytes", F.size("feature").alias("dim")
+        "media_id", "kind", "payload_sha256", "payload_bytes"
     )
+
+
+def _sql_media_features() -> str:
+    return f"""
+SELECT media_id, kind, sha256(CAST(payload AS VARCHAR)) AS payload_sha256,
+       CAST(octet_length(payload) AS BIGINT) AS payload_bytes
+FROM read_parquet('{_media_path()}')
+"""
+
+
+def q_media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan — pure metadata math, binary column
+    pruned from the scan (the 100 TB shape for frame extraction)."""
+    from jsonschema_infer_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.read.parquet(_media_path())
+    return frame_sample_plan(media, every_ms=1000).select("media_id", "n_frames")
+
+
+def _sql_media_frame_plan() -> str:
+    return f"""
+SELECT media_id, CAST((duration_ms - 1) // 1000 + 1 AS INT) AS n_frames
+FROM read_parquet('{_media_path()}') WHERE kind = 'video'
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -961,6 +1106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_pii_scan": q_docs_pii_scan,
         "docs_top_jaccard": q_docs_top_jaccard,
+        "docs_jaccard_capped": q_docs_jaccard_capped,
+        "transcript_turn_order": q_transcript_turn_order,
+        "media_frame_plan": q_media_frame_plan,
         "embeddings_topk": q_embeddings_topk,
         "embeddings_cos_pairs": q_embeddings_cos_pairs,
         "embeddings_label_profile": q_embeddings_label_profile,
@@ -1005,6 +1153,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_pii_scan": SQL_DOCS_PII_SCAN,
         "docs_top_jaccard": SQL_DOCS_TOP_JACCARD,
+        "docs_jaccard_capped": SQL_DOCS_JACCARD_CAPPED,
+        "transcript_turn_order": _sql_transcript_turn_order(),
+        "media_features": _sql_media_features(),
+        "media_frame_plan": _sql_media_frame_plan(),
         "embeddings_topk": SQL_EMBEDDINGS_TOPK,
         "embeddings_cos_pairs": SQL_EMBEDDINGS_COS_PAIRS,
         "embeddings_label_profile": SQL_EMBEDDINGS_LABEL_PROFILE,

@@ -60,16 +60,22 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payloads are seeded bytes —
-    stand-ins for real JPEG/PCM/MP4 content)."""
+def synthesize_media_rows(n: int = 256, seed: int = 42) -> list:
+    """Deterministic fake media rows (tuples in MEDIA_SCHEMA order).
+
+    Payload bytes are drawn from the lowercase-ASCII range — stand-ins for
+    real JPEG/PCM/MP4 content with the same opaque-binary plumbing, but
+    byte-faithful through engines whose hash functions only accept text
+    (DuckDB's sha256 escapes non-UTF8 bytes on the BLOB->VARCHAR cast,
+    which would break the driver's oracle compare)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     mimes = {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(512, 4096)), dtype=np.uint8)
+        raw = rng.integers(0, 256, size=int(rng.integers(512, 4096)), dtype=np.uint8)
+        payload = (raw % 26 + ord("a")).astype(np.uint8)
         rows.append(
             (
                 i,
@@ -81,7 +87,42 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
                 bytes(payload.tobytes()),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (see synthesize_media_rows)."""
+    return spark.createDataFrame(synthesize_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def write_media_parquet(path: str, n: int = 256, seed: int = 42) -> str:
+    """Materialize the synthetic media table to one parquet file (atomic
+    rename), Spark-free — the driver's DuckDB oracle reads the same file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = synthesize_media_rows(n, seed)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "kind": pa.array(cols[1], pa.string()),
+            "mime": pa.array(cols[2], pa.string()),
+            "width": pa.array(cols[3], pa.int32()),
+            "height": pa.array(cols[4], pa.int32()),
+            "duration_ms": pa.array(cols[5], pa.int32()),
+            "payload": pa.array(cols[6], pa.binary()),
+        }
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
