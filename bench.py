@@ -76,7 +76,9 @@ def run_transcript_pipeline(spark, path: str) -> dict:
     res = infer_parquet(spark, path)
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
     agg = V.violation_counts(df, cons).collect()
-    integ = V.transcript_integrity_summary(df)
+    # native map side + distributed reduce: scales past the mapInArrow
+    # conversion ceiling (see transcript_integrity_native docstring)
+    integ = V.transcript_integrity_native(spark, path)
     secs = time.time() - t0
     rows = res.total_rows
     return {

@@ -63,10 +63,11 @@ def main():
     agg = V.violation_counts(df, cons).collect()
     t_viol = time.time() - t
     t = time.time()
-    # the fully-distributed form: its reduce parallelizes, unlike the
-    # driver-merge parquet variant (fastest at low core counts but
-    # serial-capped — see transcript_integrity_parquet docstring)
-    integ = V.transcript_integrity_summary(df)
+    # native-reader map side + distributed reduce: the map skips Spark's
+    # columnar->row->arrow conversion (which capped the summary form flat
+    # past 8 cores) and the reduce parallelizes, unlike the driver-merge
+    # parquet variant — see transcript_integrity_native docstring
+    integ = V.transcript_integrity_native(spark, args.data)
     n_dup = integ["dup_rows_excess"]
     n_ord = integ["ordering_violations"]
     t_integrity = time.time() - t

@@ -477,6 +477,21 @@ def _make_fold(config: InferConfig, mode: str, json_column):
     return fn
 
 
+def list_parquet_files(path: str) -> list:
+    """Data files under a parquet path (skips _SUCCESS/_metadata/dotfiles),
+    sorted for deterministic task numbering."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+        )
+    return [path]
+
+
 def _list_rg_tasks(paths: list, rg_per_task: int) -> list:
     """(file, row_group_lo, row_group_hi) work units — the same split
     granularity a native parquet reader schedules."""
@@ -511,9 +526,6 @@ def infer_parquet(
 
     Executors must see the files (posix path or shared FS). For Iceberg
     tables use infer_dataframe on the catalog read instead."""
-    import glob as _glob
-    import os
-
     config = config or default_config()
     if config.examples:
         raise NotImplementedError("examples capture is order-dependent")
@@ -523,15 +535,7 @@ def infer_parquet(
         raise ValueError("json mode requires json_column")
 
     t0 = time.time()
-    if os.path.isdir(path):
-        paths = sorted(
-            p
-            for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
-            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
-        )
-    else:
-        paths = [path]
-    tasks = _list_rg_tasks(paths, rg_per_task)
+    tasks = _list_rg_tasks(list_parquet_files(path), rg_per_task)
 
     def fold_task(spec):
         import pyarrow.parquet as pq

@@ -433,20 +433,9 @@ def transcript_integrity_parquet(
 
     import pyarrow as pa
 
-    from .infer_spark import _list_rg_tasks
+    from .infer_spark import _list_rg_tasks, list_parquet_files
 
-    import glob as _glob
-    import os
-
-    if os.path.isdir(path):
-        paths = sorted(
-            p
-            for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
-            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
-        )
-    else:
-        paths = [path]
-    tasks = _list_rg_tasks(paths, rg_per_task)
+    tasks = _list_rg_tasks(list_parquet_files(path), rg_per_task)
     fold = _integrity_fold(conv_col, idx_col)
 
     def run(spec):
@@ -483,6 +472,88 @@ def transcript_integrity_parquet(
     if not tables:
         return {"dup_rows_excess": 0, "ordering_violations": 0}
     return _merge_partials_local(pa.concat_tables(tables))
+
+
+def transcript_integrity_native(
+    spark,
+    path: str,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    rg_per_task: int = 4,
+    spill_dir: str | None = None,
+) -> dict:
+    """transcript_integrity_summary with a native-reader MAP side and the
+    DISTRIBUTED reduce — the form that scales on both axes.
+
+    The summary's map side pays Spark's columnar->row->arrow conversion on
+    every raw row, which caps it CPU-side regardless of cores (measured on
+    a 30.5M-turn table: integrity stage 12.0s @ local[8] -> 12.6s @
+    local[32], flat, while native-reader inference scaled 31.9s -> 2.7s);
+    transcript_integrity_parquet reads natively but merges partials
+    serially on the driver (fast at 1 core, serial-capped). Here tasks
+    read ONLY (conv, turn) off parquet row groups with pyarrow,
+    pre-aggregate per conversation with C++ hash aggregation, spill the
+    per-conv partials to parquet (a few % of the input bytes), and the
+    partials feed the distributed _integrity_reduce.
+
+    The spill is the same pattern a 1000-executor job uses at 100 TB:
+    map partials land in shared storage (here the local FS both the
+    driver and local-mode executors see; pass ``spill_dir`` on a real
+    cluster to point at distributed storage), and the reduce is a plain
+    map-side-combined aggregation AQE sizes freely. Result is identical
+    to transcript_integrity_summary on the same data (tests assert)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from .infer_spark import _list_rg_tasks, list_parquet_files
+
+    tasks = _list_rg_tasks(list_parquet_files(path), rg_per_task)
+    fold = _integrity_fold(conv_col, idx_col)
+    out_dir = spill_dir or tempfile.mkdtemp(prefix="jis_integrity_")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(item):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        i, (f, lo, hi) = item
+        pf = pq.ParquetFile(f)
+        batches = pf.iter_batches(
+            batch_size=65536,
+            row_groups=list(range(lo, hi)),
+            columns=[conv_col, idx_col],
+        )
+
+        def plain(bs):
+            for b in bs:
+                cols = [
+                    c.cast(c.type.value_type)
+                    if pa.types.is_dictionary(c.type)
+                    else c
+                    for c in b.columns
+                ]
+                yield pa.RecordBatch.from_arrays(cols, names=b.schema.names)
+
+        out = list(fold(plain(batches)))
+        if out:
+            pq.write_table(
+                pa.Table.from_batches(out),
+                os.path.join(out_dir, f"part-{i:05d}.parquet"),
+            )
+        return i
+
+    try:
+        spark.sparkContext.parallelize(
+            list(enumerate(tasks)), max(len(tasks), 1)
+        ).map(run).collect()
+        if not _glob.glob(os.path.join(out_dir, "part-*.parquet")):
+            return {"dup_rows_excess": 0, "ordering_violations": 0}
+        return _integrity_reduce(spark.read.parquet(out_dir))
+    finally:
+        if spill_dir is None:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def ts_regressions(

@@ -92,9 +92,16 @@ def test_integrity_summary_matches_separate_operators(compiled):
 
 def test_integrity_parquet_native_matches(spark, tx_paths):
     viol = spark.read.parquet(tx_paths["viol"])
+    want = V.transcript_integrity_summary(viol)
     assert V.transcript_integrity_parquet(
         spark, tx_paths["viol"], rg_per_task=1
-    ) == V.transcript_integrity_summary(viol)
+    ) == want
+    # native map side + distributed reduce (the scaling form)
+    assert V.transcript_integrity_native(
+        spark, tx_paths["viol"], rg_per_task=1
+    ) == want
+    clean = V.transcript_integrity_native(spark, tx_paths["clean"], rg_per_task=1)
+    assert clean == {"dup_rows_excess": 0, "ordering_violations": 0}
 
 
 def test_ts_regressions_match_injections(compiled):
