@@ -45,15 +45,19 @@ MANIFEST = "manifest.json"
 STATES = "states"
 
 
-def config_fingerprint(config: InferConfig, mode: str, json_column) -> str:
+def config_fingerprint(
+    config: InferConfig, mode: str, json_column, order_cols=None
+) -> str:
     key = json.dumps(
         {
             "formats": list(config.format_names()),
             "predefined": dict(sorted(config.predefined.items())),
             "max_samples": config.max_samples,
             "version": config.schema_version,
+            "examples": config.examples,
             "mode": mode,
             "json_column": json_column,
+            "order_cols": list(order_cols) if order_cols else None,
         },
         sort_keys=True,
     )
@@ -77,6 +81,7 @@ def infer_with_checkpoint(
     config: InferConfig | None = None,
     mode: str = "columnar",
     json_column: str | None = None,
+    order_cols: list | None = None,
     _skip_partitions=None,  # test hook: simulate partitions that never finish
 ):
     """Run (or resume) a checkpointed inference. Returns (InferResult,
@@ -84,11 +89,15 @@ def infer_with_checkpoint(
     have no state yet (e.g. a simulated failure) — rerunning with the same
     checkpoint_dir folds only the missing ones."""
     config = config or default_config()
+    if config.examples and not order_cols:
+        raise NotImplementedError(
+            "examples capture needs a total order: pass order_cols=[...]"
+        )
     if config.max_samples > 0:
         df = df.limit(config.max_samples)
 
     os.makedirs(os.path.join(checkpoint_dir, STATES), exist_ok=True)
-    fp = config_fingerprint(config, mode, json_column)
+    fp = config_fingerprint(config, mode, json_column, order_cols)
     input_files = sorted(df.inputFiles())
     n_parts = df.rdd.getNumPartitions()
 
@@ -118,9 +127,9 @@ def infer_with_checkpoint(
             return  # test hook: pretend this partition never finished
         t0 = time.time()
         if mode == "json":
-            st, rows = fold_batches_json(batches, config, json_column)
+            st, rows = fold_batches_json(batches, config, json_column, order_cols)
         else:
-            st, rows = fold_batches_columnar(batches, config)
+            st, rows = fold_batches_columnar(batches, config, order_cols)
         _atomic_write(
             path,
             json.dumps(

@@ -132,6 +132,142 @@ def _bounded_unique(arr: pa.Array):
     return u
 
 
+# --- examples capture (distributed "first value", reference options.go:86-90) -
+#
+# The reference's example is the FIRST value each node observes — an order-
+# dependent fact. The distributed fold makes it order-DEFINED: the caller
+# names order_cols, every row gets a lexicographic key over those columns,
+# and each node latches the (key, value) with the minimal key among its
+# observed values; merge() keeps the min (state.py). Array items extend the
+# key with the element index ((row_key, i)), exactly like the local fold's
+# recursive child_key, so distributed output is byte-equal to a sequential
+# fold over order-sorted rows under ANY partitioning.
+
+
+class _OrderKeys:
+    """Per-row order keys for one batch: ``arrs`` are numpy arrays compared
+    lexicographically (significance order), ``pyget(i)`` builds the python
+    tuple stored in state['first']. Order columns must be non-null."""
+
+    __slots__ = ("arrs", "pyget")
+
+    def __init__(self, arrs, pyget):
+        self.arrs = arrs
+        self.pyget = pyget
+
+
+def _lex_argmin(arrs, idx):
+    """Index (from ``idx``) of the lexicographically smallest key."""
+    if len(idx) == 1:
+        return int(idx[0])
+    if len(arrs) == 1:
+        return int(idx[np.argmin(arrs[0][idx])])
+    # np.lexsort's LAST key is primary
+    sub = tuple(arrs[k][idx] for k in range(len(arrs) - 1, -1, -1))
+    return int(idx[np.lexsort(sub)[0]])
+
+
+def _batch_order_keys(batch, order_cols: list) -> _OrderKeys:
+    arrs = []
+    for c in order_cols:
+        col = batch.column(batch.schema.get_field_index(c))
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(col.type.value_type)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us")).cast(pa.int64())
+        elif pa.types.is_date(col.type):
+            col = col.cast(pa.date32()).cast(pa.int32())
+        arrs.append(col.to_numpy(zero_copy_only=False))
+
+    def pyget(i, _arrs=tuple(arrs)):
+        out = []
+        for a in _arrs:
+            v = a[i]
+            out.append(v.item() if hasattr(v, "item") else v)
+        return tuple(out)
+
+    return _OrderKeys(arrs, pyget)
+
+
+def _pyify_example(v):
+    """Arrow scalar .as_py() output -> the value the LOCAL fold would have
+    seen for the same row (temporals rendered RFC 3339, bytes decoded)."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, _dt.datetime):
+        us = int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        return _render_ts_us(us)
+    if isinstance(v, _dt.date):
+        return str(v)
+    if isinstance(v, dict):
+        return {k: _pyify_example(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_pyify_example(x) for x in v]
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, _Dec):
+        return float(v)
+    return v
+
+
+def _example_value(arr: pa.Array, i: int):
+    typ = arr.type
+    if pa.types.is_dictionary(typ):
+        return _example_value(arr.cast(typ.value_type), i)
+    if pa.types.is_timestamp(typ):
+        us = arr.cast(pa.timestamp("us")).cast(pa.int64())[i].as_py()
+        return None if us is None else _render_ts_us(us)
+    return _pyify_example(arr[i].as_py())
+
+
+def _capture_first(st: dict, arr: pa.Array, ok, count_nulls: bool) -> None:
+    """Latch the min-order observed value of this node from one batch.
+    Observed = non-null slots (object-property semantics) or every slot
+    (array-item semantics: nulls ARE observed, value None — render drops
+    None examples, matching Go's omitempty on a nil first value)."""
+    if ok is None or len(arr) == 0:
+        return
+    if count_nulls or arr.null_count == 0:
+        idx = np.arange(len(arr))
+    else:
+        idx = np.nonzero(np.asarray(pc.is_valid(arr)))[0]
+        if len(idx) == 0:
+            return
+    i = _lex_argmin(ok.arrs, idx)
+    key = ok.pyget(i)
+    if st["first"] is None or key < st["first"][0]:
+        st["first"] = (key, _example_value(arr, i))
+
+
+def _list_child_keys(arr: pa.Array, ok) -> "_OrderKeys | None":
+    """Order keys for the flattened elements of a list column: parent row
+    key extended with the element index — (row_key, i), the local fold's
+    child_key (state.observe_value array branch)."""
+    if ok is None:
+        return None
+    nonnull = (
+        np.nonzero(np.asarray(pc.is_valid(arr)))[0]
+        if arr.null_count
+        else np.arange(len(arr))
+    )
+    flat = arr.drop_null()
+    lens = np.asarray(pc.list_value_length(flat)).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return None  # no elements -> nothing to capture downstream
+    parent = np.repeat(nonnull, lens)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    item_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    child_arrs = [a[parent] for a in ok.arrs] + [item_idx]
+
+    def pyget(j, _pg=ok.pyget, _parent=parent, _idx=item_idx):
+        return (_pg(int(_parent[j])), int(_idx[j]))
+
+    return _OrderKeys(child_arrs, pyget)
+
+
 _FMT_PREFIX = 256
 
 
@@ -174,18 +310,25 @@ def _eliminate_formats(st: dict, values: pa.Array, config: InferConfig) -> None:
 
 
 def observe_arrow_column(
-    st: dict, arr: pa.Array, config: InferConfig, count_nulls: bool = False
+    st: dict,
+    arr: pa.Array,
+    config: InferConfig,
+    count_nulls: bool = False,
+    ok: "_OrderKeys | None" = None,
 ) -> None:
     """Vectorized equivalent of calling ObserveValue once per element of
     ``arr`` (node.go:65-151). ``count_nulls`` distinguishes array-item
     semantics (nulls observed, node.go:124-134) from object-property
-    semantics (nulls skipped, node.go:136-149)."""
+    semantics (nulls skipped, node.go:136-149). ``ok`` carries per-row
+    order keys when examples capture is on (see the _OrderKeys block)."""
     typ = arr.type
     if pa.types.is_dictionary(typ):
         # direct parquet reads restore dictionary encoding from the
         # embedded arrow schema; observation semantics are value-level
-        observe_arrow_column(st, arr.cast(typ.value_type), config, count_nulls)
+        observe_arrow_column(st, arr.cast(typ.value_type), config, count_nulls, ok)
         return
+    if ok is not None:
+        _capture_first(st, arr, ok, count_nulls)
     n_total = len(arr)
     n_null = arr.null_count
     n = n_total - n_null
@@ -393,7 +536,8 @@ def observe_arrow_column(
         values = (
             flat.flatten() if not pa.types.is_fixed_size_list(typ) else flat.values
         )
-        observe_arrow_column(st["items"], values, config, count_nulls=True)
+        child_ok = _list_child_keys(arr, ok)
+        observe_arrow_column(st["items"], values, config, count_nulls=True, ok=child_ok)
 
     elif pa.types.is_struct(typ):
         st["n"] += n
@@ -401,9 +545,10 @@ def observe_arrow_column(
         for i, f in enumerate(typ):
             child = st["props"].setdefault(f.name, S.new_state())
             # field array carries parent nulls -> skipped, same as the
-            # null-property rule (node.go:140-147)
+            # null-property rule (node.go:140-147); order keys align with
+            # the parent rows (local fold passes order_key through)
             field_arr = pc.struct_field(arr, i)
-            observe_arrow_column(child, field_arr, config, count_nulls=False)
+            observe_arrow_column(child, field_arr, config, count_nulls=False, ok=ok)
 
     elif pa.types.is_null(typ):
         pass  # object property never observed -> stays optional, empty type
@@ -416,53 +561,90 @@ def observe_arrow_column(
         _const_differs(st)
         st["distinct"] = None
     elif pa.types.is_decimal(typ):
+        # ok omitted: the top-of-function capture already latched this
+        # node's example from the decimal array itself
         observe_arrow_column(st, arr.cast(pa.float64()), config, count_nulls)
         return
     else:
         raise TypeError(f"unsupported arrow type in columnar inference: {typ}")
 
 
-def fold_batches_columnar(batches, config: InferConfig) -> tuple:
+def fold_batches_columnar(
+    batches, config: InferConfig, order_cols: list | None = None
+) -> tuple:
     """Partial fold: iterate Arrow batches, observe each column vectorized.
-    Returns (root_state, rows)."""
+    Returns (root_state, rows). ``order_cols`` (required when
+    config.examples) names the total-order columns for example capture;
+    the root's example is the full row dict at the minimal key, exactly
+    what a sequential fold over order-sorted row-documents records."""
     root = S.new_state()
     rows = 0
+    capture = bool(config.examples and order_cols)
     for batch in batches:
         nb = batch.num_rows
         rows += nb
         root["n"] += nb
         root["types"]["object"] = root["types"].get("object", 0) + nb
+        ok = _batch_order_keys(batch, order_cols) if capture and nb else None
+        if ok is not None:
+            i = _lex_argmin(ok.arrs, np.arange(nb))
+            key = ok.pyget(i)
+            if root["first"] is None or key < root["first"][0]:
+                root["first"] = (
+                    key,
+                    {
+                        f.name: _example_value(batch.column(j), i)
+                        for j, f in enumerate(batch.schema)
+                    },
+                )
         for i, f in enumerate(batch.schema):
             child = root["props"].setdefault(f.name, S.new_state())
-            observe_arrow_column(child, batch.column(i), config, count_nulls=False)
+            observe_arrow_column(
+                child, batch.column(i), config, count_nulls=False, ok=ok
+            )
     return root, rows
 
 
-def fold_batches_json(batches, config: InferConfig, column: str) -> tuple:
+def fold_batches_json(
+    batches, config: InferConfig, column: str, order_cols: list | None = None
+) -> tuple:
     """Partial fold for a nested-JSON payload column: parse + recursive
     observe per row (batch-amortized; the one place Python touches rows,
-    unavoidable for arbitrary nesting — SURVEY.md §2.1 #3)."""
+    unavoidable for arbitrary nesting — SURVEY.md §2.1 #3). With examples
+    on, each row's order key is the tuple of its order_cols values, passed
+    straight into the recursive ObserveValue fold."""
     st = S.new_state()
     rows = 0
+    capture = bool(config.examples and order_cols)
     for batch in batches:
         col = batch.column(batch.schema.get_field_index(column))
-        for s in col.to_pylist():
+        keys = None
+        if capture:
+            kcols = [
+                batch.column(batch.schema.get_field_index(c)).to_pylist()
+                for c in order_cols
+            ]
+            keys = list(zip(*kcols)) if kcols else None
+        for r, s in enumerate(col.to_pylist()):
             if s is None:
                 continue
-            S.observe_value(st, json.loads(s), config)
+            S.observe_value(
+                st, json.loads(s), config,
+                order_key=keys[r] if keys is not None else None,
+            )
             rows += 1
     return st, rows
 
 
-def _make_fold(config: InferConfig, mode: str, json_column):
+def _make_fold(config: InferConfig, mode: str, json_column, order_cols=None):
     def fn(batches):
         from pyspark import TaskContext
 
         t0 = time.time()
         if mode == "json":
-            st, rows = fold_batches_json(batches, config, json_column)
+            st, rows = fold_batches_json(batches, config, json_column, order_cols)
         else:
-            st, rows = fold_batches_columnar(batches, config)
+            st, rows = fold_batches_columnar(batches, config, order_cols)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         yield pa.RecordBatch.from_pydict(
@@ -512,6 +694,7 @@ def infer_parquet(
     mode: str = "columnar",
     json_column: str | None = None,
     rg_per_task: int = 4,
+    order_cols: list | None = None,
 ) -> InferResult:
     """Distributed inference reading parquet DIRECTLY in python tasks.
 
@@ -525,29 +708,70 @@ def infer_parquet(
     fold and merge are the same code; tests byte-compare.
 
     Executors must see the files (posix path or shared FS). For Iceberg
-    tables use infer_dataframe on the catalog read instead."""
+    tables use infer_dataframe on the catalog read instead.
+
+    ``max_samples`` caps rows deterministically in (file, row-group, row)
+    order; ``order_cols`` enables distributed examples capture exactly as
+    in infer_dataframe."""
     config = config or default_config()
-    if config.examples:
-        raise NotImplementedError("examples capture is order-dependent")
-    if config.max_samples > 0:
-        raise ValueError("max_samples: use infer_dataframe (limit pushdown)")
+    if config.examples and not order_cols:
+        raise NotImplementedError(
+            "examples capture needs a total order in distributed mode: pass "
+            "order_cols=[...] (e.g. ['conv_id', 'turn_idx'])"
+        )
     if mode == "json" and not json_column:
         raise ValueError("json mode requires json_column")
 
     t0 = time.time()
     tasks = _list_rg_tasks(list_parquet_files(path), rg_per_task)
 
+    # max_samples (options.go:50-54): a deterministic ROW budget in (file,
+    # row-group, row) order — the native reader's stable total order, the
+    # same determinism infer_dataframe gets from a pushed-down limit. Tasks
+    # beyond the cap are dropped before scheduling (partition pruning).
+    if config.max_samples > 0:
+        import pyarrow.parquet as pq
+
+        remaining = config.max_samples
+        budgeted = []
+        meta_cache: dict = {}
+        for f, lo, hi in tasks:
+            if remaining <= 0:
+                break
+            md = meta_cache.get(f)
+            if md is None:
+                md = meta_cache[f] = pq.ParquetFile(f).metadata
+            in_task = sum(md.row_group(i).num_rows for i in range(lo, hi))
+            take = min(in_task, remaining)
+            budgeted.append((f, lo, hi, take))
+            remaining -= take
+        tasks = budgeted
+    else:
+        tasks = [(f, lo, hi, None) for f, lo, hi in tasks]
+
     def fold_task(spec):
         import pyarrow.parquet as pq
 
-        f, lo, hi = spec
+        f, lo, hi, take = spec
         pf = pq.ParquetFile(f)
         rgs = list(range(lo, hi)) if hi > lo else []
         batches = pf.iter_batches(batch_size=10_000, row_groups=rgs)
+        if take is not None:
+            def limited(bs, cap=take):
+                got = 0
+                for b in bs:
+                    if got >= cap:
+                        return
+                    if got + b.num_rows > cap:
+                        b = b.slice(0, cap - got)
+                    got += b.num_rows
+                    yield b
+
+            batches = limited(batches)
         if mode == "json":
-            st, rows = fold_batches_json(batches, config, json_column)
+            st, rows = fold_batches_json(batches, config, json_column, order_cols)
         else:
-            st, rows = fold_batches_columnar(batches, config)
+            st, rows = fold_batches_columnar(batches, config, order_cols)
         return st, rows
 
     rdd = spark.sparkContext.parallelize(tasks, max(len(tasks), 1)).map(fold_task)
@@ -587,20 +811,25 @@ def infer_dataframe(
     json_column: str | None = None,
     num_partitions: int | None = None,
     sample_rows: int | None = None,
+    order_cols: list | None = None,
 ) -> InferResult:
     """Run distributed inference over ``df`` and finalize on the driver.
 
     ``config.max_samples`` maps to a deterministic ``limit`` pushed into the
     scan (SURVEY.md §2.4: the reference's order-dependent cap becomes
-    order-defined). Examples capture requires a total order and is not
-    supported in distributed mode (reference default is off,
-    jsonschema.go:33) — enable it on the local SchemaInferrer instead.
+    order-defined). Examples capture (reference options.go:86-90, default
+    off jsonschema.go:33) likewise becomes order-DEFINED: pass
+    ``order_cols`` naming a non-null total order (e.g. ['conv_id',
+    'turn_idx']) and every node's example is the value at the minimal key
+    — byte-equal to a sequential fold over order-sorted rows under any
+    partitioning (tests assert; merge keeps the min key, state.py).
     """
     config = config or default_config()
-    if config.examples:
+    if config.examples and not order_cols:
         raise NotImplementedError(
-            "examples capture is order-dependent; use the local SchemaInferrer "
-            "or pre-sort + limit explicitly (SURVEY.md §2.4)"
+            "examples capture needs a total order in distributed mode: pass "
+            "order_cols=[...] (e.g. ['conv_id', 'turn_idx']), or use the "
+            "local SchemaInferrer (SURVEY.md §2.4)"
         )
     if mode == "json" and not json_column:
         raise ValueError("json mode requires json_column")
@@ -627,7 +856,9 @@ def infer_dataframe(
     if num_partitions:
         df = df.repartition(num_partitions)
 
-    states_df = df.mapInArrow(_make_fold(config, mode, json_column), STATE_SCHEMA)
+    states_df = df.mapInArrow(
+        _make_fold(config, mode, json_column, order_cols), STATE_SCHEMA
+    )
 
     n_parts = df.rdd.getNumPartitions() if num_partitions is None else num_partitions
     if n_parts > _TREE_REDUCE_THRESHOLD:

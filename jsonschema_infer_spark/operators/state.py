@@ -320,6 +320,15 @@ def state_to_jsonable(s: dict | None):
     return out
 
 
+def _deep_tuple(k):
+    """JSON round-trips tuples to lists; order keys nest ((row_key, i) for
+    array items), so rebuild tuples recursively — comparisons between a
+    deserialized partial and an in-memory one must stay well-typed."""
+    if isinstance(k, list):
+        return tuple(_deep_tuple(x) for x in k)
+    return k
+
+
 def state_from_jsonable(d) -> dict | None:
     if d is None:
         return None
@@ -329,8 +338,7 @@ def state_from_jsonable(d) -> dict | None:
         s[k] = d[k]
     s["const"] = tuple(d["const"]) if d["const"] is not None else None
     if d["first"] is not None:
-        key = d["first"][0]
-        s["first"] = (tuple(key) if isinstance(key, list) else key, d["first"][1])
+        s["first"] = (_deep_tuple(d["first"][0]), d["first"][1])
     s["distinct"] = (
         None if d["distinct"] is None else [tuple(tv) for tv in d["distinct"]]
     )

@@ -309,13 +309,18 @@ def _integrity_fold(conv_col: str, idx_col: str):
                 (idx_col, "distinct"),
             ]
         )
+        turns = g[f"{idx_col}_distinct"].cast(pa.list_(pa.int32()))
         out = pa.table(
             {
                 "conv": g[conv_col].cast(pa.string()),
                 "n": g[f"{idx_col}_count"].cast(pa.int64()),
                 "mn": g[f"{idx_col}_min"].cast(pa.int32()),
                 "mx": g[f"{idx_col}_max"].cast(pa.int32()),
-                "turns": g[f"{idx_col}_distinct"].cast(pa.list_(pa.int32())),
+                # local distinct count as its own column: the reduce's main
+                # path then never decodes the list column (parquet column
+                # pruning skips it entirely on the spill scan)
+                "ndl": pc.list_value_length(turns).cast(pa.int64()),
+                "turns": turns,
             }
         )
         yield from out.to_batches()
@@ -347,19 +352,65 @@ def transcript_integrity_summary(
         F.col(idx_col).cast("int").alias(idx_col),
     ).mapInArrow(
         _integrity_fold(conv_col, idx_col),
-        "conv string, n long, mn int, mx int, turns array<int>",
+        "conv string, n long, mn int, mx int, ndl long, turns array<int>",
     )
     return _integrity_reduce(partials)
 
 
-def _integrity_reduce(partials: DataFrame) -> dict:
-    g = partials.groupBy("conv").agg(
+def _integrity_reduce(partials: DataFrame, reuse: str = "persist") -> dict:
+    """Distributed merge of per-conv partials, two-path on distinctness:
+
+    A conversation whose rows all landed in ONE map task (the clustered-
+    layout majority — task-boundary stragglers and hot conversations are
+    the only splits) needs no cross-task union: its local distinct count
+    (the ``ndl`` column the fold emits) IS exact. So the main aggregation
+    carries five longs per conv and NEVER touches the turn arrays —
+    reading from a parquet spill, column pruning skips the list column
+    entirely. Only multi-partial convs pay the exact array union — a
+    relation of a few hundred rows that AQE turns into a broadcast join,
+    leaving the array-bearing side unshuffled. On adversarial layouts
+    where most convs split, AQE falls back to a shuffled join and the
+    result stays exact (fuzz-tested), just without the shortcut.
+
+    ``reuse='persist'`` caches the partials for the second (exact-branch)
+    reference — required when they come from a mapInArrow fold that would
+    otherwise re-run; the native path passes ``'rescan'`` because its
+    partials are a parquet spill that re-scans pruned and cheap."""
+    if reuse == "persist":
+        partials = partials.persist()
+    try:
+        return _integrity_reduce_inner(partials)
+    finally:
+        if reuse == "persist":
+            partials.unpersist()
+
+
+def _integrity_reduce_inner(partials: DataFrame) -> dict:
+    base = (
+        partials
+        if "ndl" in partials.columns
+        else partials.withColumn("ndl", F.size("turns"))
+    )
+    g1 = base.select("conv", "n", "mn", "mx", "ndl").groupBy("conv").agg(
         F.sum("n").alias("n_turns"),
         F.min("mn").alias("min_idx"),
         F.max("mx").alias("max_idx"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("turns")))).alias(
-            "n_distinct"
-        ),
+        F.count(F.lit(1)).alias("parts"),
+        F.sum("ndl").alias("nd_sum"),
+    )
+    multi = g1.filter(F.col("parts") > 1).select("conv")
+    exact = (
+        base.select("conv", "turns")
+        .join(multi, "conv")
+        .groupBy("conv")
+        .agg(
+            F.size(F.array_distinct(F.flatten(F.collect_list("turns")))).alias(
+                "nd_exact"
+            )
+        )
+    )
+    g = g1.join(exact, "conv", "left").withColumn(
+        "n_distinct", F.coalesce("nd_exact", "nd_sum")
     )
     bad = (
         (F.col("min_idx") != 0)
@@ -550,7 +601,7 @@ def transcript_integrity_native(
         ).map(run).collect()
         if not _glob.glob(os.path.join(out_dir, "part-*.parquet")):
             return {"dup_rows_excess": 0, "ordering_violations": 0}
-        return _integrity_reduce(spark.read.parquet(out_dir))
+        return _integrity_reduce(spark.read.parquet(out_dir), reuse="rescan")
     finally:
         if spill_dir is None:
             shutil.rmtree(out_dir, ignore_errors=True)

@@ -109,6 +109,11 @@ def test_cosine_topk_and_lsh(spark):
     top = SIM.cosine_topk(df, [float(x) for x in base[3]], k=3)
     got = [r.vec_id for r in top.collect()]
     assert got[0] == 3 and 17 in got[:2]
+    # the pure-Column HOF form must agree with the vectorized default
+    top_expr = SIM.cosine_topk(df, [float(x) for x in base[3]], k=3, impl="expr")
+    assert [(r.vec_id, r.cos_sim) for r in top.collect()] == [
+        (r.vec_id, r.cos_sim) for r in top_expr.collect()
+    ]
 
     pairs = SIM.lsh_cosine_pairs(df, threshold=0.99, n_planes=16, bands=8)
     assert (3, 17) in {(r.id_a, r.id_b) for r in pairs.collect()}

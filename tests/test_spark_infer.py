@@ -89,12 +89,129 @@ def test_max_samples_limit(spark):
     assert res.total_rows == 100
 
 
-def test_examples_rejected_in_distributed_mode(spark):
+def test_max_samples_native_reader(spark):
+    from jsonschema_infer_spark.config import default_config
+    from jsonschema_infer_spark.operators.infer_spark import infer_parquet
+
+    src = f"{SF}/events.parquet"
+    res = infer_parquet(
+        spark, src, config=default_config(max_samples=137), rg_per_task=1
+    )
+    assert res.total_rows == 137
+    # the native reader's total order IS (file, row-group, row): the capped
+    # result equals a sequential fold over the parquet head
+    assert res.schema_json == local_oracle_rows(pq.read_table(src).slice(0, 137))
+
+
+def test_examples_need_order_cols_in_distributed_mode(spark):
     from jsonschema_infer_spark.config import default_config
 
     df = spark.read.parquet(f"{SF}/events.parquet")
     with pytest.raises(NotImplementedError):
         infer_dataframe(df, config=default_config(examples=True))
+
+
+def local_oracle_sorted_examples(table, order_cols) -> str:
+    """Sequential fold with examples over order-sorted rows — the ground
+    truth for distributed capture under any partitioning."""
+    rows = table.to_pylist()
+    rows.sort(key=lambda r: tuple(r[c] for c in order_cols))
+    g = SchemaInferrer(examples=True)
+    for row in rows:
+        d = dict(row)
+        for k, v in d.items():
+            if hasattr(v, "timestamp"):
+                us = int(v.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+                d[k] = _render_ts_us(us)
+        g.add_parsed_sample(d)
+    return g.generate()
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 8])
+def test_examples_columnar_matches_sorted_local_oracle(spark, nparts):
+    from jsonschema_infer_spark.config import default_config
+
+    df = spark.read.parquet(f"{SF}/events.parquet").repartition(nparts)
+    res = infer_dataframe(
+        df, config=default_config(examples=True), order_cols=["event_id"]
+    )
+    expected = local_oracle_sorted_examples(
+        pq.read_table(f"{SF}/events.parquet"), ["event_id"]
+    )
+    assert res.schema_json == expected
+
+
+def test_examples_json_mode_matches_sorted_local_oracle(spark):
+    from jsonschema_infer_spark.config import default_config
+
+    df = spark.read.parquet(f"{SF}/events.parquet").repartition(7)
+    res = infer_dataframe(
+        df,
+        mode="json",
+        json_column="props",
+        config=default_config(examples=True),
+        order_cols=["event_id"],
+    )
+    rows = pq.read_table(f"{SF}/events.parquet").select(
+        ["event_id", "props"]
+    ).to_pylist()
+    rows.sort(key=lambda r: r["event_id"])
+    g = SchemaInferrer(examples=True)
+    for r in rows:
+        if r["props"] is not None:
+            g.add_sample(r["props"])
+    assert res.schema_json == g.generate()
+
+
+def test_examples_nested_hostile_partitioning(spark):
+    """Reference examples semantics (jsonschema_test.go:1168-1265) through
+    the DISTRIBUTED fold: nested objects, arrays (child key = (row_key, i)),
+    null items, optional props — byte-equal to the sorted sequential fold
+    regardless of row placement."""
+    import json as _json
+
+    from jsonschema_infer_spark.config import default_config
+
+    docs = [
+        {"name": "John", "age": 30, "active": True, "tags": ["go", "json"],
+         "user": {"name": "John", "email": "john@example.com"}},
+        {"name": "Jane", "age": 25, "active": False, "tags": ["test", None],
+         "user": {"name": "Jane", "email": "jane@example.com"}, "extra": 1.5},
+        {"name": "Zed", "age": 41, "active": True, "tags": [],
+         "user": {"name": "Zed", "email": "z@example.com"}, "extra": None},
+    ]
+    rows = [(i, _json.dumps(d)) for i, d in enumerate(docs)]
+    # reverse + spread across partitions: the minimal key is NOT first
+    df = spark.createDataFrame(rows[::-1], "ord long, doc string").repartition(3)
+    res = infer_dataframe(
+        df,
+        mode="json",
+        json_column="doc",
+        config=default_config(examples=True),
+        order_cols=["ord"],
+    )
+    g = SchemaInferrer(examples=True)
+    for d in docs:
+        g.add_parsed_sample(d)
+    assert res.schema_json == g.generate()
+    props = res.schema["properties"]
+    assert props["tags"]["example"] == ["go", "json"]
+    assert props["tags"]["items"]["example"] == "go"
+    assert props["user"]["example"] == {"name": "John", "email": "john@example.com"}
+    assert props["extra"]["example"] == 1.5  # first OBSERVED (non-null) value
+
+
+def test_examples_parquet_native_matches(spark, tmp_path):
+    from jsonschema_infer_spark.config import default_config
+    from jsonschema_infer_spark.operators.infer_spark import infer_parquet
+
+    src = f"{SF}/events.parquet"
+    res = infer_parquet(
+        spark, src, config=default_config(examples=True),
+        order_cols=["event_id"], rg_per_task=1,
+    )
+    expected = local_oracle_sorted_examples(pq.read_table(src), ["event_id"])
+    assert res.schema_json == expected
 
 
 def test_checkpoint_resume(spark, tx_paths, tmp_path):
