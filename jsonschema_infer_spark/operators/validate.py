@@ -329,7 +329,10 @@ def _integrity_fold(conv_col: str, idx_col: str):
 
 
 def transcript_integrity_summary(
-    df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx"
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    distinct_strategy: str = "collect",
 ) -> dict:
     """Uniqueness of (conv, turn) AND dense-ordering per conv in ONE
     SHUFFLE-LIGHT pass.
@@ -354,38 +357,77 @@ def transcript_integrity_summary(
         _integrity_fold(conv_col, idx_col),
         "conv string, n long, mn int, mx int, ndl long, turns array<int>",
     )
-    return _integrity_reduce(partials)
+    return _integrity_reduce(partials, strategy=distinct_strategy)
 
 
-def _integrity_reduce(partials: DataFrame, reuse: str = "persist") -> dict:
-    """Distributed merge of per-conv partials, two-path on distinctness:
+def _integrity_reduce(
+    partials: DataFrame, strategy: str = "collect", reuse: str = "persist"
+) -> dict:
+    """Distributed merge of per-conv partials. Two strategies, identical
+    results (fuzz-tested equality):
 
-    A conversation whose rows all landed in ONE map task (the clustered-
-    layout majority — task-boundary stragglers and hot conversations are
-    the only splits) needs no cross-task union: its local distinct count
-    (the ``ndl`` column the fold emits) IS exact. So the main aggregation
-    carries five longs per conv and NEVER touches the turn arrays —
-    reading from a parquet spill, column pruning skips the list column
-    entirely. Only multi-partial convs pay the exact array union — a
-    relation of a few hundred rows that AQE turns into a broadcast join,
-    leaving the array-bearing side unshuffled. On adversarial layouts
-    where most convs split, AQE falls back to a shuffled join and the
-    result stays exact (fuzz-tested), just without the shortcut.
+    - ``collect`` (default): one groupBy(conv) whose distinct union is
+      size(array_distinct(flatten(collect_list(turns)))). One shuffle,
+      one job. With short conversations (transcripts average a handful of
+      turns) the conv-id strings dominate shuffle bytes anyway, so the
+      arrays add little — measured fastest at every parallelism level on
+      the bench table.
+    - ``split``: the long-conversation scale path. A conv whose rows all
+      landed in ONE map task (the clustered-layout majority) needs no
+      cross-task union — its local distinct count (the ``ndl`` column) is
+      exact, so the main aggregation carries five longs per conv and
+      never touches the arrays (reading a parquet spill, column pruning
+      skips the list column entirely); only convs split across tasks
+      (task-boundary stragglers, hot convs) pay the exact array union,
+      via a join AQE turns into a broadcast. Choose this when turn lists
+      dominate partial bytes (avg turns/conv in the hundreds+) — there
+      the collect form shuffles the whole turn universe, this one only
+      the split convs'.
 
-    ``reuse='persist'`` caches the partials for the second (exact-branch)
-    reference — required when they come from a mapInArrow fold that would
-    otherwise re-run; the native path passes ``'rescan'`` because its
-    partials are a parquet spill that re-scans pruned and cheap."""
+    ``reuse='persist'`` caches the partials for the split strategy's
+    second reference — required when they come from a mapInArrow fold
+    that would otherwise re-run; the native path passes ``'rescan'``
+    because its partials are a parquet spill that re-scans pruned."""
+    if strategy == "collect":
+        return _integrity_reduce_collect(partials)
     if reuse == "persist":
         partials = partials.persist()
     try:
-        return _integrity_reduce_inner(partials)
+        return _integrity_reduce_split(partials)
     finally:
         if reuse == "persist":
             partials.unpersist()
 
 
-def _integrity_reduce_inner(partials: DataFrame) -> dict:
+def _integrity_finalize(g: DataFrame) -> dict:
+    bad = (
+        (F.col("min_idx") != 0)
+        | (F.col("max_idx") != F.col("n_distinct") - 1)
+        | (F.col("n_distinct") != F.col("n_turns"))
+    )
+    row = g.agg(
+        F.sum(F.col("n_turns") - F.col("n_distinct")).alias("dup_rows_excess"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("ordering_violations"),
+    ).collect()[0]
+    return {
+        "dup_rows_excess": int(row.dup_rows_excess or 0),
+        "ordering_violations": int(row.ordering_violations or 0),
+    }
+
+
+def _integrity_reduce_collect(partials: DataFrame) -> dict:
+    g = partials.groupBy("conv").agg(
+        F.sum("n").alias("n_turns"),
+        F.min("mn").alias("min_idx"),
+        F.max("mx").alias("max_idx"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("turns")))).alias(
+            "n_distinct"
+        ),
+    )
+    return _integrity_finalize(g)
+
+
+def _integrity_reduce_split(partials: DataFrame) -> dict:
     base = (
         partials
         if "ndl" in partials.columns
@@ -412,19 +454,7 @@ def _integrity_reduce_inner(partials: DataFrame) -> dict:
     g = g1.join(exact, "conv", "left").withColumn(
         "n_distinct", F.coalesce("nd_exact", "nd_sum")
     )
-    bad = (
-        (F.col("min_idx") != 0)
-        | (F.col("max_idx") != F.col("n_distinct") - 1)
-        | (F.col("n_distinct") != F.col("n_turns"))
-    )
-    row = g.agg(
-        F.sum(F.col("n_turns") - F.col("n_distinct")).alias("dup_rows_excess"),
-        F.sum(F.when(bad, 1).otherwise(0)).alias("ordering_violations"),
-    ).collect()[0]
-    return {
-        "dup_rows_excess": int(row.dup_rows_excess or 0),
-        "ordering_violations": int(row.ordering_violations or 0),
-    }
+    return _integrity_finalize(g)
 
 
 def _merge_partials_local(table) -> dict:
@@ -532,6 +562,7 @@ def transcript_integrity_native(
     idx_col: str = "turn_idx",
     rg_per_task: int = 4,
     spill_dir: str | None = None,
+    distinct_strategy: str = "collect",
 ) -> dict:
     """transcript_integrity_summary with a native-reader MAP side and the
     DISTRIBUTED reduce — the form that scales on both axes.
@@ -601,7 +632,9 @@ def transcript_integrity_native(
         ).map(run).collect()
         if not _glob.glob(os.path.join(out_dir, "part-*.parquet")):
             return {"dup_rows_excess": 0, "ordering_violations": 0}
-        return _integrity_reduce(spark.read.parquet(out_dir), reuse="rescan")
+        return _integrity_reduce(
+            spark.read.parquet(out_dir), strategy=distinct_strategy, reuse="rescan"
+        )
     finally:
         if spill_dir is None:
             shutil.rmtree(out_dir, ignore_errors=True)

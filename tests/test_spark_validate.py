@@ -100,6 +100,11 @@ def test_integrity_parquet_native_matches(spark, tx_paths):
     assert V.transcript_integrity_native(
         spark, tx_paths["viol"], rg_per_task=1
     ) == want
+    # the long-conversation split strategy: identical result
+    assert V.transcript_integrity_native(
+        spark, tx_paths["viol"], rg_per_task=1, distinct_strategy="split"
+    ) == want
+    assert V.transcript_integrity_summary(viol, distinct_strategy="split") == want
     clean = V.transcript_integrity_native(spark, tx_paths["clean"], rg_per_task=1)
     assert clean == {"dup_rows_excess": 0, "ordering_violations": 0}
 
