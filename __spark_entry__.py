@@ -887,6 +887,27 @@ def q_embeddings_ivf_topk(spark, sf_dir):
     return ivf_topk(df.filter(F.col("vec_id") != 0), qvec, k=10, seed=42)
 
 
+def q_embeddings_ivf_exact(spark, sf_dir):
+    """IVF machinery under a full probe (n_probe = n_cells): every cell is
+    scanned, so the result is exactly the brute-force top-k — which makes
+    the cell-assignment + probe + scoring path fully DuckDB-oracle-able."""
+    from jsonschema_infer_spark.operators.similarity import ivf_topk
+
+    df = _load(spark, sf_dir, "embeddings")
+    qvec = df.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(
+        df.filter(F.col("vec_id") != 0), qvec, k=10, n_cells=16, n_probe=16, seed=42
+    )
+
+
+SQL_EMBEDDINGS_IVF_EXACT = """
+SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
 def q_embeddings_label_profile(spark, sf_dir):
     df = _load(spark, sf_dir, "embeddings")
     return df.groupBy("label").agg(
@@ -1111,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": q_media_frame_plan,
         "embeddings_topk": q_embeddings_topk,
         "embeddings_cos_pairs": q_embeddings_cos_pairs,
+        "embeddings_ivf_exact": q_embeddings_ivf_exact,
         "embeddings_label_profile": q_embeddings_label_profile,
         # rows-only (no oracle)
         "infer_events_schema": q_infer_events_schema,
@@ -1159,5 +1181,6 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_plan": _sql_media_frame_plan(),
         "embeddings_topk": SQL_EMBEDDINGS_TOPK,
         "embeddings_cos_pairs": SQL_EMBEDDINGS_COS_PAIRS,
+        "embeddings_ivf_exact": SQL_EMBEDDINGS_IVF_EXACT,
         "embeddings_label_profile": SQL_EMBEDDINGS_LABEL_PROFILE,
     }

@@ -228,12 +228,23 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     sample_rows: int = 4096,
+    impl: str = "pandas",
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse centroids from a seeded sample
     (driver numpy k-means-lite), rows assigned to nearest cell once, query
     probes only the n_probe nearest cells. At 100 TB the cell assignment is
     a materialized column and the probe prunes partitions; here it prunes
-    the scan with a broadcast-friendly isin filter."""
+    the scan before scoring.
+
+    ``n_probe >= n_cells`` probes every cell, making the result EXACTLY the
+    brute-force top-k — the driver's `embeddings_ivf_exact` query oracles
+    the whole cell-assign/probe machinery against plain SQL that way.
+
+    ``impl='pandas'`` (default) does cell assignment + scoring in one
+    mapInPandas pass — one (batch x cells) distance matrix and one
+    matrix-vector product per Arrow batch. ``impl='expr'`` keeps the pure
+    Column form (no Python workers), whose HOF lambdas Catalyst interprets
+    per element per centroid — O(cells*dim) interpreter calls per row."""
     sample = np.stack(
         [r[0] for r in df.select(vec_col).limit(sample_rows).collect()]
     ).astype(np.float64)
@@ -247,30 +258,59 @@ def ivf_topk(
             if len(pts):
                 cents[c] = pts.mean(0)
 
-    cent_arrs = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    v = F.col(vec_col).cast("array<double>")
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(v, ca, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            )
-            for ca in cent_arrs
-        ]
-    )
-    cell = F.array_position(dists, F.array_min(dists)) - 1
-
     q = np.asarray(query_vec, dtype=np.float64)
     qd = ((cents - q[None, :]) ** 2).sum(1)
     probe_cells = [int(c) for c in qd.argsort()[:n_probe]]
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine(v, qcol)
+    if impl == "expr":
+        cent_arrs = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        v = F.col(vec_col).cast("array<double>")
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(v, ca, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                for ca in cent_arrs
+            ]
+        )
+        cell = F.array_position(dists, F.array_min(dists)) - 1
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        sim = cosine(v, qcol)
+        return (
+            df.withColumn("_cell", cell)
+            .filter(F.col("_cell").isin(probe_cells))
+            .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(id_col))
+            .limit(k)
+        )
+
+    C = cents  # (cells, dim); same full (a-c)^2 sum as the expr form so
+    # argmin ties resolve identically (first minimum) across impls
+    probe = np.asarray(probe_cells, dtype=np.int64)
+    qnorm = np.linalg.norm(q)
+
+    def block(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            cell = ((A[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            m = np.isin(cell, probe)
+            if not m.any():
+                continue
+            Am = A[m]
+            sims = np.round((Am @ q) / (np.linalg.norm(Am, axis=1) * qnorm), 4)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[m], "cos_sim": sims}
+            )
+
     return (
-        df.withColumn("_cell", cell)
-        .filter(F.col("_cell").isin(probe_cells))
-        .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        df.select(id_col, vec_col)
+        .mapInPandas(block, f"{id_col} long, cos_sim double")
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )

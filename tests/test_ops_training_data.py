@@ -120,6 +120,20 @@ def test_cosine_topk_and_lsh(spark):
 
     ivf = SIM.ivf_topk(df, [float(x) for x in base[3]], k=3, n_cells=8, n_probe=4)
     assert [r.vec_id for r in ivf.collect()][0] == 3
+    # vectorized cell-assign/score must agree with the pure-Column form
+    ivf_expr = SIM.ivf_topk(
+        df, [float(x) for x in base[3]], k=3, n_cells=8, n_probe=4, impl="expr"
+    )
+    assert [(r.vec_id, r.cos_sim) for r in ivf.collect()] == [
+        (r.vec_id, r.cos_sim) for r in ivf_expr.collect()
+    ]
+    # full probe == brute force exactly (the driver's embeddings_ivf_exact
+    # contract): every cell scanned -> identical to cosine_topk
+    full = SIM.ivf_topk(df, [float(x) for x in base[3]], k=5, n_cells=8, n_probe=8)
+    brute = SIM.cosine_topk(df, [float(x) for x in base[3]], k=5)
+    assert [(r.vec_id, r.cos_sim) for r in full.collect()] == [
+        (r.vec_id, r.cos_sim) for r in brute.collect()
+    ]
 
 
 def test_text_quality_and_langid(spark):
