@@ -465,26 +465,53 @@ def _merge_partials_local(table) -> dict:
     import numpy as np
     import pandas as pd
 
+    import pyarrow as pa
+
     if table.num_rows == 0:
         return {"dup_rows_excess": 0, "ordering_violations": 0}
-    pdf = table.to_pandas()
-    codes, _ = pd.factorize(pdf["conv"], sort=False)
-    g = pdf.groupby(codes, sort=True)
-    n_turns = g["n"].sum().to_numpy()
-    mn = g["mn"].min().to_numpy()
-    mx = g["mx"].max().to_numpy()
-    turns = pdf["turns"].to_numpy()
-    lens = np.fromiter((len(t) for t in turns), dtype=np.int64, count=len(turns))
-    rep = np.repeat(codes, lens)
-    allt = (
-        np.concatenate([np.asarray(t, dtype=np.int64) for t in turns])
-        if len(turns)
-        else np.array([], dtype=np.int64)
-    )
-    uniq = pd.DataFrame({"c": rep, "t": allt}).drop_duplicates()
-    n_distinct = (
-        uniq.groupby("c").size().reindex(range(len(n_turns)), fill_value=0)
-    ).to_numpy()
+    def _one_chunk(col):
+        col = col.combine_chunks()
+        return col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+
+    codes_arr = _one_chunk(table.column("conv")).dictionary_encode()
+    codes = codes_arr.indices.to_numpy().astype(np.int64)
+    n = table.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    mn_r = table.column("mn").to_numpy(zero_copy_only=False).astype(np.int64)
+    mx_r = table.column("mx").to_numpy(zero_copy_only=False).astype(np.int64)
+    turns_col = _one_chunk(table.column("turns"))
+    if "ndl" in table.schema.names:
+        ndl = table.column("ndl").to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        ndl = np.diff(turns_col.offsets.to_numpy()).astype(np.int64)
+
+    G = int(codes.max()) + 1
+    n_turns = np.bincount(codes, weights=n, minlength=G).astype(np.int64)
+    parts = np.bincount(codes, minlength=G)
+    mn = np.full(G, np.iinfo(np.int64).max)
+    np.minimum.at(mn, codes, mn_r)
+    mx = np.full(G, np.iinfo(np.int64).min)
+    np.maximum.at(mx, codes, mx_r)
+
+    # a conv whose partials all came from ONE map task needs no union: its
+    # local distinct count is exact. Only multi-part convs (task-boundary
+    # stragglers + hot convs — tens, not millions, under clustered layout)
+    # pay the exact union, which otherwise re-deduplicates every turn of
+    # every conversation on the driver.
+    n_distinct = np.bincount(codes, weights=ndl, minlength=G).astype(np.int64)
+    multi_rows = np.flatnonzero(parts[codes] > 1)
+    if len(multi_rows):
+        sub = turns_col.take(pa.array(multi_rows))
+        lens = np.diff(sub.offsets.to_numpy()).astype(np.int64)
+        flat = sub.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(codes[multi_rows], lens)
+        # exact distinct per conv via one composite-key unique (turn_idx
+        # fits far below 2^32, conv codes below 2^31 — no overflow)
+        key = rep * np.int64(1 << 32) + flat
+        ukey = np.unique(key)
+        nd_multi = np.bincount((ukey >> np.int64(32)).astype(np.int64), minlength=G)
+        touched = parts > 1
+        n_distinct[touched] = nd_multi[touched]
+
     bad = (mn != 0) | (mx != n_distinct - 1) | (n_distinct != n_turns)
     return {
         "dup_rows_excess": int((n_turns - n_distinct).sum()),
