@@ -589,10 +589,21 @@ def transcript_integrity_native(
     idx_col: str = "turn_idx",
     rg_per_task: int = 4,
     spill_dir: str | None = None,
-    distinct_strategy: str = "collect",
+    distinct_strategy: str = "auto",
+    local_merge_max_bytes: int = 256 << 20,
 ) -> dict:
-    """transcript_integrity_summary with a native-reader MAP side and the
-    DISTRIBUTED reduce — the form that scales on both axes.
+    """transcript_integrity_summary with a native-reader MAP side and a
+    runtime-picked reduce — the form that scales on both axes.
+
+    ``distinct_strategy='auto'`` (default) decides the reduce from the
+    measured spill size, the way AQE re-plans from shuffle statistics:
+    partials under ``local_merge_max_bytes`` go through the vectorized
+    driver merge (`_merge_partials_local` — arrow dictionary codes +
+    numpy bincount, no shuffle, sub-second at bench scale), larger spills
+    go through the distributed ``split`` reduce whose main aggregation
+    carries five longs per conversation (arrays only for convs split
+    across tasks). 'collect'/'split' force the distributed reduce;
+    equality of every path is asserted in tests.
 
     The summary's map side pays Spark's columnar->row->arrow conversion on
     every raw row, which caps it CPU-side regardless of cores (measured on
@@ -657,10 +668,24 @@ def transcript_integrity_native(
         spark.sparkContext.parallelize(
             list(enumerate(tasks)), max(len(tasks), 1)
         ).map(run).collect()
-        if not _glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        spilled = _glob.glob(os.path.join(out_dir, "part-*.parquet"))
+        if not spilled:
             return {"dup_rows_excess": 0, "ordering_violations": 0}
+        strategy = distinct_strategy
+        if strategy == "auto":
+            # runtime strategy pick, AQE-style: the spill size is now a
+            # known statistic. Small partials -> the vectorized driver
+            # merge (no shuffle at all, sub-second, and immune to the
+            # ObjectHashAggregate variance a 10^6-group array agg shows);
+            # large partials (10^9+ conversations) -> the distributed
+            # split reduce, whose main agg carries five longs per conv.
+            if sum(os.path.getsize(p) for p in spilled) <= local_merge_max_bytes:
+                import pyarrow.parquet as _pq
+
+                return _merge_partials_local(_pq.read_table(out_dir))
+            strategy = "split"
         return _integrity_reduce(
-            spark.read.parquet(out_dir), strategy=distinct_strategy, reuse="rescan"
+            spark.read.parquet(out_dir), strategy=strategy, reuse="rescan"
         )
     finally:
         if spill_dir is None:

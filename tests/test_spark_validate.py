@@ -104,6 +104,13 @@ def test_integrity_parquet_native_matches(spark, tx_paths):
     assert V.transcript_integrity_native(
         spark, tx_paths["viol"], rg_per_task=1, distinct_strategy="split"
     ) == want
+    assert V.transcript_integrity_native(
+        spark, tx_paths["viol"], rg_per_task=1, distinct_strategy="collect"
+    ) == want
+    # auto with a zero threshold must route to the distributed reduce
+    assert V.transcript_integrity_native(
+        spark, tx_paths["viol"], rg_per_task=1, local_merge_max_bytes=0
+    ) == want
     assert V.transcript_integrity_summary(viol, distinct_strategy="split") == want
     clean = V.transcript_integrity_native(spark, tx_paths["clean"], rg_per_task=1)
     assert clean == {"dup_rows_excess": 0, "ordering_violations": 0}
