@@ -1,0 +1,123 @@
+"""Streaming drift monitor: finalized windows get a chi-square verdict vs
+the reference profile; a window matching the reference passes, a skewed
+window is flagged."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from jsonschema_infer_spark.streaming.drift import (
+    start_category_drift_monitor,
+    start_ks_drift_monitor,
+)
+
+SCHEMA = "role string, ts timestamp"
+HOUR = 3600
+REF = {"user": 30, "assistant": 30}
+
+
+def _write(dirpath, name, rows):
+    tab = pa.table(
+        {
+            "role": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tab, os.path.join(dirpath, name))
+
+
+def _cycle(spark, data_dir, ckpt, out):
+    stream = spark.readStream.schema(SCHEMA).parquet(data_dir)
+    q = start_category_drift_monitor(
+        stream,
+        REF,
+        out_path=out,
+        checkpoint=ckpt,
+        cat_col="role",
+        window="1 hour",
+        watermark="1 hour",
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_category_drift(spark, tmp_path):
+    data = tmp_path / "drift_in"
+    data.mkdir()
+    ckpt = str(tmp_path / "drift_ckpt")
+    out = str(tmp_path / "drift_out")
+
+    # hour 0 mirrors the reference (balanced); hour 1 is all-user (drifted)
+    h0 = [("user", 10 * i + 1) for i in range(6)] + [
+        ("assistant", 10 * i + 2) for i in range(6)
+    ]
+    h1 = [("user", HOUR + 10 * i + 1) for i in range(9)]
+    _write(str(data), "b0.parquet", h0 + h1)
+    _cycle(spark, str(data), ckpt, out)
+
+    # advance the watermark past hours 0 and 1 (two cycles: the watermark
+    # a batch RUNS with is the one the previous batch ended on)
+    _write(str(data), "b1.parquet", [("user", 3 * HOUR + 5)])
+    _cycle(spark, str(data), ckpt, out)
+    _write(str(data), "b2.parquet", [("user", 4 * HOUR + 5)])
+    _cycle(spark, str(data), ckpt, out)
+
+    got = {r.window_start.hour: r for r in spark.read.parquet(out).collect()}
+    assert 0 in got and 1 in got
+    assert got[0].n_window == 12 and not got[0].drifted
+    assert got[0].chi2 == 0.0 and got[0].p_value == 1.0  # exact proportions
+    assert got[1].n_window == 9 and got[1].drifted
+    assert got[1].p_value < 0.05
+
+
+NUM_SCHEMA = "v double, ts timestamp"
+
+
+def _write_num(dirpath, name, rows):
+    tab = pa.table(
+        {
+            "v": pa.array([r[0] for r in rows], pa.float64()),
+            "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tab, os.path.join(dirpath, name))
+
+
+def _cycle_num(spark, data_dir, ckpt, out):
+    stream = spark.readStream.schema(NUM_SCHEMA).parquet(data_dir)
+    q = start_ks_drift_monitor(
+        stream,
+        ref_hist={b: 10 for b in range(1, 11)},  # uniform on [0, 10)
+        lo=0.0,
+        hi=10.0,
+        out_path=out,
+        checkpoint=ckpt,
+        value_col="v",
+        bins=10,
+        window="1 hour",
+        watermark="1 hour",
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_ks_drift(spark, tmp_path):
+    data = tmp_path / "ks_in"
+    data.mkdir()
+    ckpt = str(tmp_path / "ks_ckpt")
+    out = str(tmp_path / "ks_out")
+
+    # hour 0 uniform like the reference; hour 1 all mass in the top bucket
+    h0 = [(b + 0.5, 10 * b + 7) for b in range(10)] * 2
+    h1 = [(9.5, HOUR + 10 * i + 1) for i in range(20)]
+    _write_num(str(data), "b0.parquet", h0 + h1)
+    _cycle_num(spark, str(data), ckpt, out)
+    _write_num(str(data), "b1.parquet", [(5.0, 3 * HOUR + 5)])
+    _cycle_num(spark, str(data), ckpt, out)
+    _write_num(str(data), "b2.parquet", [(5.0, 4 * HOUR + 5)])
+    _cycle_num(spark, str(data), ckpt, out)
+
+    got = {r.window_start.hour: r for r in spark.read.parquet(out).collect()}
+    assert 0 in got and 1 in got
+    assert got[0].n_window == 20 and got[0].ks_d == 0.0 and not got[0].drifted
+    assert got[1].n_window == 20 and abs(got[1].ks_d - 0.9) < 1e-9
+    assert got[1].drifted and got[1].p_value < 0.05
