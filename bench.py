@@ -66,19 +66,16 @@ def ensure_bench_transcripts(n_convs: int, seed: int = 42) -> str:
 def run_transcript_pipeline(spark, path: str) -> dict:
     """The headline pipeline: infer schema -> compile constraints ->
     row validation + uniqueness + turn ordering, one timed end-to-end run."""
-    from pyspark.sql import functions as F
-
     from jsonschema_infer_spark.operators import validate as V
-    from jsonschema_infer_spark.operators.infer_spark import infer_parquet
+    from jsonschema_infer_spark.operators.pipeline import infer_and_integrity_parquet
 
     df = spark.read.parquet(path)
     t0 = time.time()
-    res = infer_parquet(spark, path)
+    # fused one-pass scan: inference + integrity partials off the same
+    # native pyarrow row-group read (see operators/pipeline.py)
+    res, integ = infer_and_integrity_parquet(spark, path)
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
     agg = V.violation_counts(df, cons).collect()
-    # native map side + distributed reduce: scales past the mapInArrow
-    # conversion ceiling (see transcript_integrity_native docstring)
-    integ = V.transcript_integrity_native(spark, path)
     secs = time.time() - t0
     rows = res.total_rows
     return {

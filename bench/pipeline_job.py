@@ -39,7 +39,7 @@ def main():
     cores = spark.sparkContext.defaultParallelism
 
     from jsonschema_infer_spark.operators import validate as V
-    from jsonschema_infer_spark.operators.infer_spark import infer_parquet
+    from jsonschema_infer_spark.operators.pipeline import infer_and_integrity_parquet
 
     df = spark.read.parquet(args.data)
 
@@ -52,25 +52,19 @@ def main():
     warm.mapInArrow(lambda it: it, "id long").count()
 
     t0 = time.time()
-    # native-reader path: tasks fold straight off pyarrow row-group scans,
-    # skipping Spark's columnar->row->arrow double conversion
-    res = infer_parquet(spark, args.data)
-    t_infer = time.time() - t0
+    # fused one-pass scan: inference fold + per-conv integrity partials off
+    # the same native pyarrow row-group read (the second data pass the
+    # unfused composition paid is gone — see operators/pipeline.py)
+    res, integ = infer_and_integrity_parquet(spark, args.data)
+    n_dup = integ["dup_rows_excess"]
+    n_ord = integ["ordering_violations"]
+    t_fused = time.time() - t0
     t = time.time()
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
     t_compile = time.time() - t
     t = time.time()
     agg = V.violation_counts(df, cons).collect()
     t_viol = time.time() - t
-    t = time.time()
-    # native-reader map side + distributed reduce: the map skips Spark's
-    # columnar->row->arrow conversion (which capped the summary form flat
-    # past 8 cores) and the reduce parallelizes, unlike the driver-merge
-    # parquet variant — see transcript_integrity_native docstring
-    integ = V.transcript_integrity_native(spark, args.data)
-    n_dup = integ["dup_rows_excess"]
-    n_ord = integ["ordering_violations"]
-    t_integrity = time.time() - t
     secs = time.time() - t0
 
     out = {
@@ -82,10 +76,9 @@ def main():
         "dup_rows_excess": n_dup,
         "ordering_violations": n_ord,
         "stage_secs": {
-            "infer": round(t_infer, 2),
+            "infer+integrity": round(t_fused, 2),
             "compile": round(t_compile, 2),
             "violations": round(t_viol, 2),
-            "integrity": round(t_integrity, 2),
         },
     }
     with open(args.out, "w") as f:

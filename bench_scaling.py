@@ -165,13 +165,13 @@ def main():
         "# BENCH baseline — transcript pipeline scaling evidence",
         "",
         "The same `spark-submit --py-files` job (`bench/pipeline_job.py`:",
-        "distributed schema inference -> constraint compilation -> row",
-        "validation + single-shuffle uniqueness/turn-ordering integrity)",
+        "fused one-pass schema inference + uniqueness/turn-ordering",
+        "integrity scan -> constraint compilation -> row validation)",
         f"over the seed-fixed violated transcript table ({results[32]['rows']:,}",
         "turns), run at six parallelism levels, best of "
         f"{reps} reps each.",
         "",
-        "| config | wall sec | turns/sec | stage secs (infer/compile/validate/integrity) | host mem GB/s |",
+        "| config | wall sec | turns/sec | stage secs (fused infer+integrity / compile / validate) | host mem GB/s |",
         "|---|---|---|---|---|",
     ]
     for n in LEVELS:
@@ -179,7 +179,7 @@ def main():
         s = r["stage_secs"]
         lines.append(
             f"| local[{n}] | {r['secs']} | {r['turns_per_sec']:,} | "
-            f"{s['infer']} / {s['compile']} / {s['violations']} / {s['integrity']} | "
+            f"{s['infer+integrity']} / {s['compile']} / {s['violations']} | "
             f"{r.get('host_gbps', '')} |"
         )
     lines += [

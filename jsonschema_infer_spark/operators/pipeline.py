@@ -1,0 +1,164 @@
+"""One-pass transcript pipeline: schema inference + integrity partials off
+a SINGLE native parquet scan.
+
+The north_rule pipeline is infer -> compile -> validate. Composed from the
+standalone operators it scans the table twice before validation: once for
+the inference fold (`infer_parquet`) and once for the integrity fold
+(`transcript_integrity_native`). Both folds are per-partition
+pre-aggregations over the same rows — the classic multi-aggregate fusion a
+100 TB job cannot afford to skip, since the second scan is the same IO (and
+on this single-disk sandbox, the same wall-clock) all over again.
+
+Here each (file, row-group-range) task iterates its Arrow batches ONCE:
+
+    pyarrow row-group scan (memory-mapped, no Spark row pipeline)
+      -> vectorized inference fold (observe every column)   \\ same batch
+      -> per-conversation integrity pre-aggregation          / stream
+    inference partial  -> returned, merged via the associative combOp
+                          (collect+reduce, or treeReduce for large P)
+    integrity partials -> spilled to parquet (a few % of input bytes),
+                          reduced by validate.reduce_spilled_partials
+                          (driver merge or distributed, picked at runtime
+                          from the measured spill size)
+
+Results are identical to running `infer_parquet` and
+`transcript_integrity_native` separately — the folds and reduces are the
+same code; tests assert equality on clean and violated tables.
+
+Reference anchor: the sequential equivalent is AddSample folding each
+document once (`/root/reference/jsonschema.go:57-92`); validation is the
+roadmap feature the reference never built (FEATURES.md:172-174), so its
+natural distributed home is the same pass that already reads the rows.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pyarrow as pa
+
+from ..config import InferConfig, default_config
+from ..operators import state as S
+from .infer_spark import (
+    InferResult,
+    _TREE_REDUCE_THRESHOLD,
+    _list_rg_tasks,
+    fold_batches_columnar,
+    list_parquet_files,
+    merge_states,
+)
+from .validate import _integrity_fold, reduce_spilled_partials
+from ..plans.render import render_schema
+
+
+def infer_and_integrity_parquet(
+    spark,
+    path: str,
+    config: InferConfig | None = None,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    rg_per_task: int = 4,
+    order_cols: list | None = None,
+    spill_dir: str | None = None,
+    distinct_strategy: str = "auto",
+    local_merge_max_bytes: int = 256 << 20,
+) -> tuple:
+    """Fused scan: returns ``(InferResult, integrity_dict)`` where the
+    InferResult equals ``infer_parquet(spark, path, config, ...)`` and the
+    dict equals ``transcript_integrity_native(spark, path, ...)`` — one
+    data pass instead of two.
+
+    ``max_samples`` is not supported here (a row budget caps inference but
+    integrity must still see every row — the two folds would need
+    different scans, defeating the fusion); use the standalone operators
+    for that configuration."""
+    config = config or default_config()
+    if config.max_samples > 0:
+        raise ValueError(
+            "max_samples caps the inference scan but integrity must see "
+            "every row; run infer_parquet + transcript_integrity_native "
+            "separately for capped inference"
+        )
+    if config.examples and not order_cols:
+        raise NotImplementedError(
+            "examples capture needs a total order in distributed mode: pass "
+            "order_cols=[...] (e.g. ['conv_id', 'turn_idx'])"
+        )
+    import os
+    import shutil
+    import tempfile
+
+    t0 = time.time()
+    tasks = _list_rg_tasks(list_parquet_files(path), rg_per_task)
+    integrity_fold = _integrity_fold(conv_col, idx_col)
+    out_dir = spill_dir or tempfile.mkdtemp(prefix="jis_pipeline_")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(item):
+        import pyarrow.parquet as pq
+
+        i, (f, lo, hi) = item
+        pf = pq.ParquetFile(f)
+        # batch_size matches infer_parquet so the inference fold sees the
+        # exact same batch boundaries (value-identical partials)
+        batches = pf.iter_batches(
+            batch_size=10_000, row_groups=list(range(lo, hi))
+        )
+        kept: list = []
+        ns = pf.schema_arrow.names
+        idxs = (ns.index(conv_col), ns.index(idx_col))
+
+        def tee(bs):
+            for b in bs:
+                cols = []
+                for j in idxs:
+                    a = b.column(j)
+                    if pa.types.is_dictionary(a.type):
+                        a = a.cast(a.type.value_type)
+                    cols.append(a)
+                kept.append(
+                    pa.RecordBatch.from_arrays(cols, names=[conv_col, idx_col])
+                )
+                yield b
+
+        st, rows = fold_batches_columnar(tee(batches), config, order_cols)
+        out = list(integrity_fold(iter(kept)))
+        if out:
+            pq.write_table(
+                pa.Table.from_batches(out),
+                os.path.join(out_dir, f"part-{i:05d}.parquet"),
+            )
+        return st, rows
+
+    try:
+        rdd = spark.sparkContext.parallelize(
+            list(enumerate(tasks)), max(len(tasks), 1)
+        ).map(run)
+        if len(tasks) > _TREE_REDUCE_THRESHOLD:
+            depth = max(2, int(math.ceil(math.log(max(len(tasks), 2), 64))))
+            merged, total_rows = rdd.treeReduce(
+                lambda a, b: (S.merge(a[0], b[0]), a[1] + b[1]), depth=depth
+            )
+        else:
+            pairs = rdd.collect()
+            merged = merge_states([p[0] for p in pairs])
+            total_rows = sum(p[1] for p in pairs)
+
+        schema = S.finalize(merged, config)
+        res = InferResult(
+            state=merged,
+            config=config,
+            schema=schema,
+            schema_json=render_schema(schema, config.indent),
+            total_rows=total_rows,
+            partitions=[(i, 0, 0.0) for i in range(len(tasks))],
+            wall_secs=time.time() - t0,
+        )
+        integ = reduce_spilled_partials(
+            spark, out_dir, distinct_strategy, local_merge_max_bytes
+        )
+        return res, integ
+    finally:
+        if spill_dir is None:
+            shutil.rmtree(out_dir, ignore_errors=True)

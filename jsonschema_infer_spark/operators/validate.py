@@ -622,7 +622,6 @@ def transcript_integrity_native(
     cluster to point at distributed storage), and the reduce is a plain
     map-side-combined aggregation AQE sizes freely. Result is identical
     to transcript_integrity_summary on the same data (tests assert)."""
-    import glob as _glob
     import os
     import shutil
     import tempfile
@@ -668,28 +667,46 @@ def transcript_integrity_native(
         spark.sparkContext.parallelize(
             list(enumerate(tasks)), max(len(tasks), 1)
         ).map(run).collect()
-        spilled = _glob.glob(os.path.join(out_dir, "part-*.parquet"))
-        if not spilled:
-            return {"dup_rows_excess": 0, "ordering_violations": 0}
-        strategy = distinct_strategy
-        if strategy == "auto":
-            # runtime strategy pick, AQE-style: the spill size is now a
-            # known statistic. Small partials -> the vectorized driver
-            # merge (no shuffle at all, sub-second, and immune to the
-            # ObjectHashAggregate variance a 10^6-group array agg shows);
-            # large partials (10^9+ conversations) -> the distributed
-            # split reduce, whose main agg carries five longs per conv.
-            if sum(os.path.getsize(p) for p in spilled) <= local_merge_max_bytes:
-                import pyarrow.parquet as _pq
-
-                return _merge_partials_local(_pq.read_table(out_dir))
-            strategy = "split"
-        return _integrity_reduce(
-            spark.read.parquet(out_dir), strategy=strategy, reuse="rescan"
+        return reduce_spilled_partials(
+            spark, out_dir, distinct_strategy, local_merge_max_bytes
         )
     finally:
         if spill_dir is None:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def reduce_spilled_partials(
+    spark,
+    out_dir: str,
+    distinct_strategy: str = "auto",
+    local_merge_max_bytes: int = 256 << 20,
+) -> dict:
+    """Merge a directory of spilled per-conv integrity partials (the
+    parquet files written by `_integrity_fold` map tasks) into the final
+    {dup_rows_excess, ordering_violations} dict.
+
+    ``'auto'`` picks the reduce from the measured spill size, AQE-style:
+    the spill size is now a known statistic. Small partials -> the
+    vectorized driver merge (no shuffle at all, sub-second, and immune to
+    the ObjectHashAggregate variance a 10^6-group array agg shows); large
+    partials (10^9+ conversations) -> the distributed ``split`` reduce,
+    whose main agg carries five longs per conv."""
+    import glob as _glob
+    import os
+
+    spilled = _glob.glob(os.path.join(out_dir, "part-*.parquet"))
+    if not spilled:
+        return {"dup_rows_excess": 0, "ordering_violations": 0}
+    strategy = distinct_strategy
+    if strategy == "auto":
+        if sum(os.path.getsize(p) for p in spilled) <= local_merge_max_bytes:
+            import pyarrow.parquet as _pq
+
+            return _merge_partials_local(_pq.read_table(out_dir))
+        strategy = "split"
+    return _integrity_reduce(
+        spark.read.parquet(out_dir), strategy=strategy, reuse="rescan"
+    )
 
 
 def ts_regressions(
