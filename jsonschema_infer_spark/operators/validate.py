@@ -473,16 +473,19 @@ def _merge_partials_local(table) -> dict:
         col = col.combine_chunks()
         return col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
 
+    # Keep every column at its native width (conv codes int32, mn/mx int32,
+    # n/ndl int64): to_numpy on null-free arrow arrays is zero-copy, and
+    # numpy promotes in the ufuncs below — no whole-column astype copies.
     codes_arr = _one_chunk(table.column("conv")).dictionary_encode()
-    codes = codes_arr.indices.to_numpy().astype(np.int64)
-    n = table.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-    mn_r = table.column("mn").to_numpy(zero_copy_only=False).astype(np.int64)
-    mx_r = table.column("mx").to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+    n = table.column("n").to_numpy(zero_copy_only=False)
+    mn_r = table.column("mn").to_numpy(zero_copy_only=False)
+    mx_r = table.column("mx").to_numpy(zero_copy_only=False)
     turns_col = _one_chunk(table.column("turns"))
     if "ndl" in table.schema.names:
-        ndl = table.column("ndl").to_numpy(zero_copy_only=False).astype(np.int64)
+        ndl = table.column("ndl").to_numpy(zero_copy_only=False)
     else:
-        ndl = np.diff(turns_col.offsets.to_numpy()).astype(np.int64)
+        ndl = np.diff(turns_col.offsets.to_numpy())
 
     G = int(codes.max()) + 1
     n_turns = np.bincount(codes, weights=n, minlength=G).astype(np.int64)
@@ -501,14 +504,18 @@ def _merge_partials_local(table) -> dict:
     multi_rows = np.flatnonzero(parts[codes] > 1)
     if len(multi_rows):
         sub = turns_col.take(pa.array(multi_rows))
-        lens = np.diff(sub.offsets.to_numpy()).astype(np.int64)
-        flat = sub.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        rep = np.repeat(codes[multi_rows], lens)
-        # exact distinct per conv via one composite-key unique (turn_idx
-        # fits far below 2^32, conv codes below 2^31 — no overflow)
-        key = rep * np.int64(1 << 32) + flat
+        lens = np.diff(sub.offsets.to_numpy())
+        flat = sub.flatten().to_numpy(zero_copy_only=False)
+        rep = np.repeat(codes[multi_rows].astype(np.int64, copy=False), lens)
+        # exact distinct per conv via one composite-key unique. The +2^31
+        # bias maps any int32 turn value into [0, 2^32), so the >>32 code
+        # recovery is exact even for negative turn indices (without it a
+        # negative turn would floor-shift into the neighboring conv code).
+        key = rep * np.int64(1 << 32) + (
+            flat.astype(np.int64, copy=False) + np.int64(1 << 31)
+        )
         ukey = np.unique(key)
-        nd_multi = np.bincount((ukey >> np.int64(32)).astype(np.int64), minlength=G)
+        nd_multi = np.bincount(ukey >> np.int64(32), minlength=G)
         touched = parts > 1
         n_distinct[touched] = nd_multi[touched]
 

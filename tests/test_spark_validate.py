@@ -148,3 +148,28 @@ def test_partition_verdicts_deterministic(compiled):
         for r in V.partition_verdicts(viol.repartition(13), cons, num_buckets=16).collect()
     )
     assert v1 == v2  # buckets are content-hash based, not physical partitions
+
+
+def test_merge_partials_local_negative_turns():
+    """Driver merge handles negative int32 turn indices in multi-part convs:
+    the composite-key bias keeps the >>32 code recovery exact (an unbiased
+    key would floor-shift a negative turn into the neighboring conv)."""
+    import pyarrow as pa
+
+    # conv "a" split across two map tasks with turns {-2,-1,0} / {0,1}:
+    # n=5 rows, distinct=5? no: union{-2,-1,0,1} = 4 -> one dup-excess row,
+    # min=-2 != 0 -> ordering violation. conv "b" is clean single-part.
+    partials = pa.table(
+        {
+            "conv": ["a", "a", "b"],
+            "n": pa.array([3, 2, 2], type=pa.int64()),
+            "mn": pa.array([-2, 0, 0], type=pa.int32()),
+            "mx": pa.array([0, 1, 1], type=pa.int32()),
+            "ndl": pa.array([3, 2, 2], type=pa.int64()),
+            "turns": pa.array(
+                [[-2, -1, 0], [0, 1], [0, 1]], type=pa.list_(pa.int32())
+            ),
+        }
+    )
+    got = V._merge_partials_local(partials)
+    assert got == {"dup_rows_excess": 1, "ordering_violations": 1}
