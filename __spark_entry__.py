@@ -796,6 +796,66 @@ WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.5
 """
 
 
+def q_docs_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components (alternating large-star /
+    small-star, Kiveris et al. SoCC'14) over the capped-Jaccard pair graph
+    — the step that turns pairwise dedup output into keep-one-per-cluster
+    decisions. Each round is a groupBy-min + join over the (small) edge
+    set only; converges to a star forest labelled by the component-minimum
+    doc_id, which is exactly what the recursive-CTE oracle computes."""
+    from jsonschema_infer_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    df = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_freq=5)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+# min-reachable-id label propagation over the same capped-Jaccard pair
+# graph as SQL_DOCS_JACCARD_CAPPED (recursive CTE; UNION dedups, so the
+# walk terminates)
+SQL_DOCS_DUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, sh.shingle AS shingle
+  FROM documents,
+  LATERAL (
+    SELECT DISTINCT unnest(list_transform(
+      generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), i, i + 2), ' ')
+    )) AS shingle
+  ) sh
+  WHERE len(string_split(sh.shingle, ' ')) = 3
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), freq_ok AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5
+), shc AS (
+  SELECT sh.id, sh.shingle FROM sh JOIN freq_ok USING (shingle)
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(node, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 def q_docs_top_jaccard(spark, sf_dir):
     from jsonschema_infer_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1128,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scan": q_docs_pii_scan,
         "docs_top_jaccard": q_docs_top_jaccard,
         "docs_jaccard_capped": q_docs_jaccard_capped,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "transcript_turn_order": q_transcript_turn_order,
         "media_frame_plan": q_media_frame_plan,
         "embeddings_topk": q_embeddings_topk,
@@ -1176,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_scan": SQL_DOCS_PII_SCAN,
         "docs_top_jaccard": SQL_DOCS_TOP_JACCARD,
         "docs_jaccard_capped": SQL_DOCS_JACCARD_CAPPED,
+        "docs_dup_clusters": SQL_DOCS_DUP_CLUSTERS,
         "transcript_turn_order": _sql_transcript_turn_order(),
         "media_features": _sql_media_features(),
         "media_frame_plan": _sql_media_frame_plan(),

@@ -30,8 +30,15 @@ def build_table(spark, n: int, dim: int, seed: int = 42):
     for i in range(0, n // 20):
         j = (i * 17 + 1) % n
         base[j] = base[i] + rng.standard_normal(dim).astype(np.float32) * 0.02
-    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(base)})
-    return spark.createDataFrame(pdf).repartition(32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.tolist() for v in base],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    ).repartition(32)
 
 
 def run_variant(df, use_pandas: bool, threshold: float):

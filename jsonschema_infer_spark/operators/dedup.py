@@ -345,3 +345,109 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- connected components (pair graph -> dedup clusters) -----------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) labels for the undirected graph of duplicate
+    pairs — the step that turns pairwise near-dup output (Jaccard /
+    MinHash-LSH / SimHash) into KEEP-ONE-PER-CLUSTER decisions.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Both steps
+    are one groupBy-min plus one join per round and converge in
+    O(log^2 n) rounds (2 rounds for the tiny-diameter clusters dedup
+    produces), so the shuffled data stays proportional to the edge set —
+    never an all-pairs or whole-graph-to-driver term, which is why this
+    shape survives 100 TB pair sets where label-propagation-to-fixpoint
+    (O(diameter) full passes) and driver-side union-find do not.
+
+    The fixpoint is a star forest with every node pointing at its
+    component's MINIMUM node id, so labels equal the min-reachable-id
+    convention a recursive-CTE oracle computes. Each round
+    localCheckpoints to cut the iterative-join lineage (on a cluster,
+    set a checkpoint dir and use checkpoint() semantics instead).
+    Node ids may be any orderable type (long, string).
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # orient big -> small; the loop keeps this invariant
+    cur = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # large-star: attach every strictly-larger neighbor of u to
+        # m = min(neighbors(u) + {u})
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: attach u and all its smaller neighbors to the
+        # smallest of them (edges already big -> small, no symmetrize)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        j = large.join(mins2, "u")
+        nxt = (
+            j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the edge set is unchanged (set equality; both
+        # sides are distinct, and the sets are small: one row per non-root)
+        if (
+            nxt.exceptAll(cur).isEmpty()
+            and cur.exceptAll(nxt).isEmpty()
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    labels = nodes.join(cur, nodes["node"] == cur["u"], "left").select(
+        "node", F.coalesce(cur["v"], nodes["node"]).alias("component")
+    )
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep exactly one row (the component-minimum id) per near-dup
+    cluster: connected_components over ``pairs``, then an anti-join that
+    drops every non-canonical member. Rows that appear in no pair pass
+    through untouched — only the (small) pair-graph nodes shuffle."""
+    drop = (
+        connected_components(pairs, src=src, dst=dst)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, on=id_col, how="left_anti")
