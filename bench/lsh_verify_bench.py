@@ -41,24 +41,26 @@ def build_table(spark, n: int, dim: int, seed: int = 42):
     ).repartition(32)
 
 
-def run_variant(df, use_pandas: bool, threshold: float):
+def run_variant(df, use_pandas: bool, threshold: float, planes_n: int = 32, bands: int = 4):
     """lsh_cosine_pairs with the verify stage forced to one implementation."""
     from pyspark.sql import functions as F
 
     from jsonschema_infer_spark.operators import similarity as SIM
 
     if use_pandas:
-        pairs = SIM.lsh_cosine_pairs(df, threshold=threshold, n_planes=16, bands=8)
+        pairs = SIM.lsh_cosine_pairs(
+            df, threshold=threshold, n_planes=planes_n, bands=bands
+        )
     else:
         # reconstruct the pre-optimization verify: interpreted HOF cosine
         dim = len(df.select("embedding").first()[0])
         rng = np.random.default_rng(42)
-        planes = rng.standard_normal((16, dim))
+        planes = rng.standard_normal((planes_n, dim))
         sig = SIM._plane_udf(planes)
         base = df.select(
             F.col("vec_id").alias("id"), F.col("embedding").alias("v")
         ).withColumn("sig", sig(F.col("v")))
-        rows_per_band = 16 // 8
+        rows_per_band = planes_n // bands
         mask = (1 << rows_per_band) - 1
         buckets = base.select(
             "id",
@@ -71,7 +73,7 @@ def run_variant(df, use_pandas: bool, threshold: float):
                             .bitwiseAND(F.lit(mask))
                             .alias("val"),
                         )
-                        for b in range(8)
+                        for b in range(bands)
                     ]
                 )
             ).alias("bb"),
@@ -106,6 +108,14 @@ def main():
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--threshold", type=float, default=0.9)
+    # 64 planes / 4 bands = 16-bit bands: ~n^2 * bands / 2^16 random
+    # collisions (~300k candidates at n=100k) while planted near-dups
+    # (cos ~0.99, per-bit agreement ~0.98) still collide in some band with
+    # probability ~99%. Fewer bits per band degenerates the buckets
+    # (2-bit bands -> 4 buckets -> ~n^2/8 candidates) and the bench would
+    # measure the candidate explosion, not the verify stage.
+    ap.add_argument("--planes", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=4)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -128,13 +138,24 @@ def main():
 
     # warm-up then best-of-2 per variant, interleaved
     results = {}
-    for label, use_pandas in (("hof_expr", False), ("pandas_blas", True)):
-        run_variant(df, use_pandas, args.threshold)  # warm (codegen, workers)
+    # pandas first (its warm run also forks the python workers both share);
+    # the interpreted-HOF variant is minutes-slow, so it gets ONE timed run —
+    # the 10x+ gap it demonstrates dwarfs run-to-run noise.
+    for label, use_pandas, reps in (
+        ("pandas_blas", True, 2),
+        ("hof_expr", False, 1),
+    ):
+        if reps > 1:
+            run_variant(df, use_pandas, args.threshold, args.planes, args.bands)
         secs, n_pairs = min(
-            (run_variant(df, use_pandas, args.threshold) for _ in range(2)),
+            (
+                run_variant(df, use_pandas, args.threshold, args.planes, args.bands)
+                for _ in range(reps)
+            ),
             key=lambda t: t[0],
         )
         results[label] = {"secs": round(secs, 2), "pairs": n_pairs}
+        print(f"# {label}: {results[label]}", flush=True)
 
     print(
         json.dumps(
