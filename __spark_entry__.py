@@ -610,6 +610,76 @@ def q_events_value_ks(spark, sf_dir):
     )
 
 
+def q_events_value_ks_hist(spark, sf_dir):
+    """Histogram-KS — the 100 TB shape of events_value_ks, declarative twin
+    of operators/drift._hist_ks_d: min/max bounds broadcast back onto the
+    scan, fixed 64-bucket assignment with explicit double arithmetic
+    (identical expression mirrored in DuckDB — no width_bucket there), one
+    groupBy on the bucket (map-side combined), then the cumulative window
+    runs over AT MOST 64 rows instead of every distinct value. No global
+    sort of data ever happens; error is bounded by 1/bins in ECDF space."""
+    from pyspark.sql import Window
+
+    bins = 64
+    df = _load(spark, sf_dir, "events")
+    side_a = F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, 1).otherwise(0)
+    v = df.where(F.col("value").isNotNull()).select(
+        F.col("value").cast("double").alias("v"), side_a.alias("sa")
+    )
+    bounds = v.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    raw = F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * bins)
+    bucket = F.when(F.col("hi") <= F.col("lo"), F.lit(1)).otherwise(
+        F.least(F.lit(bins), F.greatest(F.lit(1), raw.cast("int") + 1))
+    )
+    g = (
+        v.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "sa")
+        .groupBy("bucket")
+        .agg(F.sum("sa").alias("ca"), F.sum(F.lit(1) - F.col("sa")).alias("cb"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    diff = F.abs(
+        F.sum("ca").over(w) / F.sum("ca").over(wall)
+        - F.sum("cb").over(w) / F.sum("cb").over(wall)
+    )
+    return g.select(
+        diff.alias("diff"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    ).agg(
+        F.round(F.max("diff"), 4).alias("ks_d"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+
+
+SQL_EVENTS_VALUE_KS_HIST = """
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS sa
+  FROM events WHERE value IS NOT NULL),
+b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+g AS (
+  SELECT CASE WHEN b.hi <= b.lo THEN 1
+              ELSE least(64, greatest(1, CAST(floor((v.v - b.lo) / (b.hi - b.lo) * 64) AS INT) + 1))
+         END AS bucket,
+         sum(sa) AS ca, sum(1 - sa) AS cb
+  FROM v CROSS JOIN b
+  GROUP BY 1),
+c AS (
+  SELECT
+    abs(sum(ca) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+          / sum(ca) OVER ()
+      - sum(cb) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+          / sum(cb) OVER ()) AS diff,
+    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+    CAST(sum(cb) OVER () AS BIGINT) AS n_b
+  FROM g)
+SELECT round(max(diff), 4) AS ks_d, max(n_a) AS n_a, max(n_b) AS n_b FROM c
+"""
+
+
 SQL_EVENTS_VALUE_KS = """
 WITH g AS (
   SELECT value,
@@ -1043,6 +1113,113 @@ def q_simhash_near_docs(spark, sf_dir):
     return simhash_near_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_minhash_dups_md5(spark, sf_dir):
+    """MinHash+LSH in md5 mode: the permutation hash and the band bucket
+    are both engine-portable, so banding AND exact verification are fully
+    mirrored by the DuckDB oracle (the xxhash64 fast path stays rows-only
+    in minhash_dups_docs)."""
+    from jsonschema_infer_spark.operators.dedup import minhash_lsh_pairs
+
+    df = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        df, threshold=0.5, num_perm=16, bands=4, hash_fn="md5"
+    )
+
+
+def q_simhash_near_md5(spark, sf_dir):
+    """SimHash near-pairs in md5 mode: token hash = md5_hash64, so the
+    64-bit majority-vote signature, the 16-bit pigeonhole bucketing and
+    the bit_count(xor) verification all reproduce exactly in DuckDB."""
+    from jsonschema_infer_spark.operators.dedup import simhash_near_pairs
+
+    df = _load(spark, sf_dir, "documents")
+    return simhash_near_pairs(df, max_hamming=3, hash_fn="md5")
+
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _sql_minhash_dups_md5(num_perm: int = 16, bands: int = 4) -> str:
+    """Full mirror of minhash_lsh_pairs(hash_fn='md5'): word 3-shingles,
+    per-permutation min of md5_hash64(shingle || ':i'), band key = comma
+    string of the band's slice, bucket self-join, exact-Jaccard verify."""
+    rpb = num_perm // bands
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, sh.shingle AS shingle
+  FROM documents,
+  LATERAL (
+    SELECT DISTINCT unnest(list_transform(
+      generate_series(1, greatest(len(string_split({_SQL_NORM}, ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split({_SQL_NORM}, ' '), i, i + 2), ' ')
+    )) AS shingle
+  ) sh
+  WHERE len(string_split(sh.shingle, ' ')) = 3
+), mh AS (
+  SELECT s.id, p.i,
+         min(CAST(concat('0x', substr(md5(s.shingle || ':' || p.i), 1, 15)) AS BIGINT)) AS mh
+  FROM sh s CROSS JOIN (SELECT unnest(generate_series(0, {num_perm - 1})) AS i) p
+  GROUP BY s.id, p.i
+), bands AS (
+  SELECT id, i // {rpb} AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+  FROM mh GROUP BY id, i // {rpb}
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.5
+"""
+
+
+def _sql_simhash_near_md5(max_hamming: int = 3) -> str:
+    """Full mirror of simhash_near_pairs(hash_fn='md5'): md5_hash64 token
+    hashes (60-bit, so bits 60-63 majority-vote to 0 on both engines),
+    per-bit +/-1 vote sums, sign recombine, 4x16-bit pigeonhole chunks,
+    bit_count(xor) exact verify."""
+    votes = ",\n    ".join(
+        f"CASE WHEN sum(((h >> {b}) & 1) * 2 - 1) >= 0 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b{b}"
+        for b in range(60)
+    )
+    sig = " + ".join(f"(b{b} << {b})" for b in range(60))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+  FROM documents,
+  LATERAL unnest(string_split({_SQL_NORM}, ' ')) AS t(tok)
+  WHERE len(t.tok) > 0
+), votes AS (
+  SELECT id,
+    {votes}
+  FROM toks GROUP BY id
+), sig AS (
+  SELECT id, {sig} AS simhash FROM votes
+), chunks AS (
+  SELECT id, simhash, k.chunk, (simhash >> (16 * k.chunk)) & 65535 AS val
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) k(chunk)
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+                  x.simhash AS sa, y.simhash AS sb
+  FROM chunks x JOIN chunks y
+    ON x.chunk = y.chunk AND x.val = y.val AND x.id < y.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 def q_transcript_verdicts(spark, sf_dir):
     """Flagship transcript pipeline end-to-end (rows-only: the inference
     fold + injected-violation bookkeeping are not DuckDB-expressible):
@@ -1166,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drift family
         "events_type_drift": q_events_type_drift,
         "events_value_ks": q_events_value_ks,
+        "events_value_ks_hist": q_events_value_ks_hist,
         # relational coverage
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_revenue_topk": q_q3_revenue_topk,
@@ -1203,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_ivf_topk": q_embeddings_ivf_topk,
         "minhash_dups_docs": q_minhash_dups_docs,
         "simhash_near_docs": q_simhash_near_docs,
+        "minhash_dups_md5": q_minhash_dups_md5,
+        "simhash_near_md5": q_simhash_near_md5,
         "media_features": q_media_features,
     }
 
@@ -1217,6 +1397,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_type_drift": SQL_EVENTS_TYPE_DRIFT,
         "events_value_ks": SQL_EVENTS_VALUE_KS,
+        "events_value_ks_hist": SQL_EVENTS_VALUE_KS_HIST,
         "q1_pricing_summary": SQL_Q1,
         "q3_revenue_topk": SQL_Q3,
         "region_revenue": SQL_REGION_REVENUE,
@@ -1238,6 +1419,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_top_jaccard": SQL_DOCS_TOP_JACCARD,
         "docs_jaccard_capped": SQL_DOCS_JACCARD_CAPPED,
         "docs_dup_clusters": SQL_DOCS_DUP_CLUSTERS,
+        "minhash_dups_md5": _sql_minhash_dups_md5(),
+        "simhash_near_md5": _sql_simhash_near_md5(),
         "transcript_turn_order": _sql_transcript_turn_order(),
         "media_features": _sql_media_features(),
         "media_frame_plan": _sql_media_frame_plan(),

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "docs_top_jaccard",
     "events_type_drift",
     "events_value_ks",
+    "events_value_ks_hist",
     "embeddings_topk",
     "embeddings_cos_pairs",
     "minhash_dups_docs",

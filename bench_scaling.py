@@ -93,6 +93,22 @@ def host_ceiling() -> dict:
     return eff
 
 
+def wait_healthy(min_gbps: float = 1.5, max_wait_s: float = 1800.0) -> float:
+    """Block until the host leaves a degraded page-fault window (measured:
+    the same 512 MB copy taking 25 s and 0.67 s minutes apart). Returns the
+    last probe's GB/s. Measuring through a degraded window produced the
+    r2 garbage run (flat 13 s floor at every level) — a rep is only worth
+    taking when the probe clears min_gbps, so gate every rep, bounded by
+    max_wait_s to stay fail-open on a permanently slow host."""
+    deadline = time.time() + max_wait_s
+    gbps = memcpy_gbps()
+    while gbps < min_gbps and time.time() < deadline:
+        print(f"  host degraded ({gbps} GB/s) — waiting 60s", flush=True)
+        time.sleep(60)
+        gbps = memcpy_gbps()
+    return gbps
+
+
 def run(master: str, data: str, out: str, mem: str) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("pyspark") or "/usr/local/bin/pyspark"),
@@ -129,13 +145,18 @@ def main():
     results = {}
     for n in LEVELS:
         best = None
-        gbps = memcpy_gbps()
+        gbps_min = 1e9
         for _ in range(reps):
+            # gate EVERY rep on host health: a rep measured inside a
+            # degraded page-fault window says nothing about the engine
+            gbps_min = min(gbps_min, wait_healthy())
             out = os.path.join(REPO, ".cache", f"scale{n}.json")
             r = run(f"local[{n}]", data, out, mem)
+            print(f"  local[{n}]: {r['turns_per_sec']:,} turns/s "
+                  f"({r['secs']}s)", flush=True)
             if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
                 best = r
-        best["host_gbps"] = gbps
+        best["host_gbps"] = gbps_min
         results[n] = best
 
     pair_rows = []

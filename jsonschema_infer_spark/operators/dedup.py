@@ -148,13 +148,33 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH --------------------------------------------------------------
 
 
-def minhash_signature(shingles_col, num_perm: int = 64):
-    """num_perm minhash values as array<bigint>: min over xxhash64(shingle,
-    seed) per permutation — pure Column expressions, no UDF."""
+def md5_hash64(col, seed: int | None = None):
+    """Portable 60-bit hash: first 15 hex chars of md5 as a BIGINT.
+
+    Engine-portable by construction — DuckDB's
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`` produces the
+    identical value, which is what makes the md5-mode minhash/simhash
+    driver queries fully DuckDB-oracle-able (xxhash64 has no DuckDB
+    equivalent). ~3x slower than xxhash64, so it's the *contract* hash;
+    xxhash64 stays the default performance hash."""
+    h = F.md5(F.concat(col, F.lit(f":{seed}"))) if seed is not None else F.md5(col)
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def _perm_hash(s, i: int, hash_fn: str):
+    if hash_fn == "md5":
+        return md5_hash64(s, i)
+    return F.xxhash64(s, F.lit(i))
+
+
+def minhash_signature(shingles_col, num_perm: int = 64, hash_fn: str = "xxhash64"):
+    """num_perm minhash values as array<bigint>: min over hash(shingle,
+    seed) per permutation — pure Column expressions, no UDF. hash_fn
+    "xxhash64" (fast, default) or "md5" (engine-portable, oracle-able)."""
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles_col, lambda s: F.xxhash64(s, F.lit(i)))
+                F.transform(shingles_col, lambda s, i=i: _perm_hash(s, i, hash_fn))
             )
             for i in range(num_perm)
         ]
@@ -170,6 +190,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     shingles: str = "word",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact verification.
 
@@ -177,7 +198,12 @@ def minhash_lsh_pairs(
     signature slice matches (bucket join on (band, hash(slice))) — at
     threshold .8 with 16x4 the miss probability is ~(1-.8^4)^16 ≈ 3e-4.
     Candidates (tiny vs all-pairs) are then verified with EXACT Jaccard,
-    so the output contains no false positives."""
+    so the output contains no false positives.
+
+    hash_fn "md5" swaps the permutation hash for the engine-portable
+    md5_hash64 and the band bucket for the comma-joined slice string —
+    both exactly reproducible in DuckDB SQL, making the whole operator
+    (banding included) oracle-able. Default "xxhash64" is the fast path."""
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError("bands must divide num_perm")
@@ -189,22 +215,23 @@ def minhash_lsh_pairs(
     base = (
         df.select(F.col(id_col).alias("id"), sh.alias("sh"))
         .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_perm, hash_fn))
         .persist()
     )
+
+    def _bucket(b: int):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        if hash_fn == "md5":
+            # SQL-mirrorable bucket: the slice itself as a comma string
+            return F.array_join(F.transform(sl, lambda v: v.cast("string")), ",")
+        return F.xxhash64(F.to_json(sl)).cast("string")
+
     buckets = base.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.to_json(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -275,18 +302,23 @@ def simhash_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic SimHash, fully JVM-side and scale-shaped: explode
-    token xxhash64s, then ONE groupBy with 64 per-bit majority-vote sums
+    token hashes, then ONE groupBy with 64 per-bit majority-vote sums
     (map-side combined — the shuffle carries 64 longs per doc, not tokens),
     then recombine the sign bits into the 64-bit signature with literal
-    shifts. Documents with no tokens are absent from the output."""
+    shifts. Documents with no tokens are absent from the output.
+
+    hash_fn "md5" uses the engine-portable 60-bit md5_hash64 token hash
+    (bits 60-63 then majority-vote to 0 on both engines), making the
+    signature — and the whole near-pair query — DuckDB-oracle-able."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     ).filter(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    h = md5_hash64(F.col("tok")) if hash_fn == "md5" else F.xxhash64("tok")
     aggs = [
         F.sum(
             (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
@@ -304,12 +336,13 @@ def simhash_table(
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on each of the 4 16-bit chunks
     (pigeonhole: hamming<=3 pairs share at least one exact chunk), join
     within buckets, verify hamming distance exactly via bit_count(xor)."""
-    sig = simhash_table(df, text_col, id_col)
+    sig = simhash_table(df, text_col, id_col, hash_fn)
     chunks = sig.select(
         "id",
         "simhash",

@@ -197,3 +197,44 @@ def test_streaming_incremental_inference(spark, tx_paths, tmp_path):
     # a fresh instance resumes from the persisted state
     inc2 = IncrementalInferrer(str(tmp_path / "state"))
     assert inc2.current_schema_json() == batch.schema_json
+
+
+def test_md5_hash64_matches_python(spark):
+    """md5_hash64 is the engine-portability contract: first 15 md5 hex
+    chars as a 60-bit BIGINT, identical in Spark, DuckDB and hashlib."""
+    import hashlib
+
+    vals = ["hello world", "the quick brown", "a:0", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r.s: (r.h, r.hs)
+        for r in df.select(
+            "s",
+            D.md5_hash64(F.col("s")).alias("h"),
+            D.md5_hash64(F.col("s"), seed=7).alias("hs"),
+        ).collect()
+    }
+    for v in vals:
+        exp = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        exp_s = int(hashlib.md5(f"{v}:7".encode()).hexdigest()[:15], 16)
+        assert got[v] == (exp, exp_s), v
+
+
+def test_minhash_md5_mode_recovers_exact_dups(spark, docs):
+    sample = docs.limit(400).cache()
+    exact = D.ngram_jaccard_pairs(sample, threshold=0.999)
+    lsh = D.minhash_lsh_pairs(
+        sample, threshold=0.999, num_perm=16, bands=8, hash_fn="md5"
+    )
+    exact_set = {(r.id_a, r.id_b) for r in exact.collect()}
+    lsh_set = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert lsh_set == exact_set
+
+
+def test_simhash_md5_mode_hamming0_covers_exact_dups(spark, docs):
+    sample = docs.limit(400)
+    near = D.simhash_near_pairs(sample, max_hamming=0, hash_fn="md5")
+    exact = D.ngram_jaccard_pairs(sample, threshold=0.999)
+    near_set = {(r.id_a, r.id_b) for r in near.collect()}
+    exact_set = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert exact_set <= near_set
