@@ -1007,6 +1007,62 @@ def q_embeddings_lsh_pairs(spark, sf_dir):
     return lsh_cosine_pairs(df, threshold=0.4, n_planes=16, bands=8, seed=42)
 
 
+def q_embeddings_lsh_md5(spark, sf_dir):
+    """Hyperplane LSH in md5 mode: ±1 planes derived from md5 and integer-
+    quantized projections make every bucket bit exact integer math, so the
+    full pipeline (signatures -> band buckets -> candidate join -> exact
+    cosine verify) is replayed bit-for-bit by the DuckDB oracle. The
+    Gaussian-plane fast path stays rows-only in embeddings_lsh_pairs."""
+    from jsonschema_infer_spark.operators.similarity import lsh_cosine_pairs
+
+    df = _load(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(
+        df, threshold=0.4, n_planes=16, bands=4, plane_fn="md5q"
+    )
+
+
+def _sql_embeddings_lsh_md5(
+    n_planes: int = 16, bands: int = 4, threshold: float = 0.4
+) -> str:
+    """Mirror of lsh_cosine_pairs(plane_fn='md5q'): quantize each component
+    with floor(v * 2^20) (exact float64 product — a float32 scaled by a
+    power of two never rounds), ±1 sign per (plane, dim) from the low bit
+    of md5('p'||b||':'||i), exact BIGINT projections, band values from the
+    same bit layout as the Spark signature, then exact-cosine verify."""
+    rpb = n_planes // bands
+    return f"""
+WITH comp AS (
+  SELECT vec_id AS id, d.i AS i,
+         CAST(floor(embedding[d.i] * 1048576.0) AS BIGINT) AS q
+  FROM embeddings,
+  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) d
+), planes AS (
+  SELECT p.b, d.i,
+         CASE WHEN (CAST(concat('0x', substr(md5('p' || p.b || ':' || (d.i - 1)), 1, 15)) AS BIGINT) & 1) = 1
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS b) p
+  CROSS JOIN (SELECT DISTINCT i FROM comp) d
+), proj AS (
+  SELECT c.id, p.b,
+         CASE WHEN sum(c.q * p.s) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+  FROM comp c JOIN planes p ON p.i = c.i
+  GROUP BY c.id, p.b
+), bands AS (
+  SELECT id, b // {rpb} AS band, sum(bit << (b % {rpb})) AS val
+  FROM proj GROUP BY id, b // {rpb}
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.val = y.val AND x.id < y.id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {threshold}
+"""
+
+
 def q_embeddings_ivf_topk(spark, sf_dir):
     """IVF-flat approximate top-k: probe only the nearest coarse cells
     (rows-only: approximate by construction)."""
@@ -1378,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_props_json_schema": q_infer_props_json_schema,
         "transcript_verdicts": q_transcript_verdicts,
         "embeddings_lsh_pairs": q_embeddings_lsh_pairs,
+        "embeddings_lsh_md5": q_embeddings_lsh_md5,
         "embeddings_ivf_topk": q_embeddings_ivf_topk,
         "minhash_dups_docs": q_minhash_dups_docs,
         "simhash_near_docs": q_simhash_near_docs,
@@ -1427,5 +1484,6 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_topk": SQL_EMBEDDINGS_TOPK,
         "embeddings_cos_pairs": SQL_EMBEDDINGS_COS_PAIRS,
         "embeddings_ivf_exact": SQL_EMBEDDINGS_IVF_EXACT,
+        "embeddings_lsh_md5": _sql_embeddings_lsh_md5(),
         "embeddings_label_profile": SQL_EMBEDDINGS_LABEL_PROFILE,
     }

@@ -143,16 +143,53 @@ def cosine_pairs_exact(
     )
 
 
+def _pack_bits(bits: np.ndarray) -> pd.Series:
+    sig = np.zeros(bits.shape[0], dtype=np.uint64)
+    for b in range(bits.shape[1]):
+        sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return pd.Series(sig.astype(np.int64))
+
+
 def _plane_udf(planes: np.ndarray):
     @pandas_udf("long")
     def signature(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (batch, dim) float32
         proj = m.astype(np.float64) @ planes.T  # (batch, n_planes)
-        bits = (proj > 0).astype(np.uint64)
-        sig = np.zeros(len(m), dtype=np.uint64)
-        for b in range(planes.shape[0]):
-            sig |= bits[:, b] << np.uint64(b)
-        return pd.Series(sig.astype(np.int64))
+        return _pack_bits(proj > 0)
+
+    return signature
+
+
+def md5_rademacher_planes(n_planes: int, dim: int) -> np.ndarray:
+    """±1 hyperplane matrix derived from md5 — the engine-portability
+    contract for LSH: DuckDB reproduces the sign of (plane b, dim i) as
+    ``CAST(concat('0x', substr(md5('p'||b||':'||i), 1, 15)) AS BIGINT) & 1``
+    (1 -> +1, 0 -> -1). Rademacher projections are a standard drop-in for
+    Gaussian hyperplanes in sign-LSH (Achlioptas-style sparse/±1 random
+    projections preserve angles in expectation)."""
+    import hashlib
+
+    S = np.empty((n_planes, dim), dtype=np.int64)
+    for b in range(n_planes):
+        for i in range(dim):
+            h = int(hashlib.md5(f"p{b}:{i}".encode()).hexdigest()[:15], 16)
+            S[b, i] = 1 if (h & 1) else -1
+    return S
+
+
+def _plane_udf_md5q(planes: np.ndarray):
+    """Signature via EXACT integer math so DuckDB agrees bit-for-bit:
+    components quantized with floor(v * 2^20) (the float64 product of a
+    float32 by a power of two is exact, so floor is deterministic in any
+    engine), then an int64 matmul against the ±1 planes — projections are
+    exact integers, and the >0 sign can never diverge by rounding order."""
+
+    @pandas_udf("long")
+    def signature(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        q = np.floor(m.astype(np.float64) * float(1 << 20)).astype(np.int64)
+        proj = q @ planes.T  # exact int64
+        return _pack_bits(proj > 0)
 
     return signature
 
@@ -166,14 +203,24 @@ def lsh_cosine_pairs(
     bands: int = 4,
     threshold: float = 0.9,
     seed: int = 42,
+    plane_fn: str = "gauss",
 ) -> DataFrame:
     """Near-duplicate embedding pairs: random-hyperplane LSH buckets ->
-    candidate pairs -> exact cosine verify >= threshold."""
+    candidate pairs -> exact cosine verify >= threshold.
+
+    ``plane_fn='md5q'`` swaps the Gaussian hyperplanes for md5-derived ±1
+    planes with integer-quantized projections (see md5_rademacher_planes /
+    _plane_udf_md5q): every bucket bit is exact integer math DuckDB can
+    replay, which makes the WHOLE operator — banding included —
+    oracle-able. Default 'gauss' keeps the classic seeded Gaussian planes."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sig = _plane_udf(planes)
+    if plane_fn == "md5q":
+        sig = _plane_udf_md5q(md5_rademacher_planes(n_planes, dim))
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
+        sig = _plane_udf(planes)
     rows_per_band = n_planes // bands
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "sig", sig(F.col("v"))

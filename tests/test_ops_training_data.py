@@ -136,6 +136,53 @@ def test_cosine_topk_and_lsh(spark):
     ]
 
 
+def test_lsh_md5q_matches_python_replica(spark):
+    """plane_fn='md5q' is the engine-portability contract for hyperplane
+    LSH: quantized integer projections against md5-derived ±1 planes must
+    reproduce EXACTLY in any engine. Assert the whole operator output
+    (bucketing included) equals a hashlib+numpy replica of the math the
+    DuckDB oracle runs."""
+    import hashlib
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((150, 16)).astype(np.float32) * 0.2
+    base[40] = base[7] + rng.standard_normal(16).astype(np.float32) * 0.005
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    n_planes, bands, rpb, thr = 16, 4, 4, 0.9
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in SIM.lsh_cosine_pairs(
+            df, threshold=thr, n_planes=n_planes, bands=bands, plane_fn="md5q"
+        ).collect()
+    }
+
+    M = base.astype(np.float64)
+    S = np.empty((n_planes, 16), dtype=np.int64)
+    for b in range(n_planes):
+        for i in range(16):
+            h = int(hashlib.md5(f"p{b}:{i}".encode()).hexdigest()[:15], 16)
+            S[b, i] = 1 if (h & 1) else -1
+    bits = (np.floor(M * float(1 << 20)).astype(np.int64) @ S.T > 0).astype(int)
+    bandvals = np.zeros((len(M), bands), dtype=np.int64)
+    for b in range(n_planes):
+        bandvals[:, b // rpb] |= bits[:, b] << (b % rpb)
+    exp = set()
+    for a in range(len(M)):
+        for c in range(a + 1, len(M)):
+            if (bandvals[a] == bandvals[c]).any():
+                cs = round(
+                    float(M[a] @ M[c])
+                    / (np.linalg.norm(M[a]) * np.linalg.norm(M[c])),
+                    4,
+                )
+                if cs >= thr:
+                    exp.add((a, c, cs))
+    assert got == exp
+    assert (7, 40, round(float(M[7] @ M[40] / (np.linalg.norm(M[7]) * np.linalg.norm(M[40]))), 4)) in got
+
+
 def test_text_quality_and_langid(spark):
     rows = [
         (1, "The quick brown fox jumps over the lazy dog, and that is that."),
