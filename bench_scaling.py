@@ -132,7 +132,7 @@ def run(master: str, data: str, out: str, mem: str) -> dict:
 
 
 def main():
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1700000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "5000000"))
     mem = os.environ.get("SPARK_GRAFT_MEM", "48g")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     from bench import ensure_bench_transcripts
