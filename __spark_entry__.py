@@ -1276,6 +1276,63 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def q_events_orphan_users(spark, sf_dir):
+    """Cross-table referential integrity (validate.referential_violations):
+    event rows whose user_id has no match in a dimension subset (customers
+    in the AUTOMOBILE segment), reported as bounded per-key orphan counts.
+    Parent side reduces to distinct keys and broadcasts — the check costs
+    one child scan and a map-side-combined groupBy of orphans only."""
+    from jsonschema_infer_spark.operators.validate import referential_violations
+
+    events = _load(spark, sf_dir, "events")
+    parent = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    return referential_violations(events, parent, "user_id", "c_custkey")
+
+
+SQL_EVENTS_ORPHAN_USERS = """
+SELECT e.user_id, CAST(count(*) AS BIGINT) AS orphan_rows
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_mktsegment = 'AUTOMOBILE' AND c.c_custkey = e.user_id
+)
+GROUP BY e.user_id
+"""
+
+
+# Declared producer contract for the events stream — deliberately one
+# version behind reality (value was integral once; props arrived later), so
+# the drift report below is deterministic and non-empty.
+EVENTS_CONTRACT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "event_id": {"type": "integer"},
+        "ts": {"type": "string", "format": "date-time"},
+        "user_id": {"type": "integer"},
+        "event_type": {"type": "string"},
+        "value": {"type": "integer"},
+    },
+    "required": ["event_id", "event_type", "ts", "user_id", "value"],
+}
+
+
+def q_events_schema_drift(spark, sf_dir):
+    """Schema-level drift (plans.diff.schema_diff): structural changes
+    between the declared producer contract and the schema the distributed
+    fold actually infers from today's events table — new properties, type
+    widenings, formats that stopped or started holding. The dual of the
+    value-level drift checks (rows-only: the inference fold has no DuckDB
+    equivalent; the diff itself is O(columns) driver logic)."""
+    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+    from jsonschema_infer_spark.plans.diff import schema_diff_df
+
+    df = _load(spark, sf_dir, "events")
+    res = infer_dataframe(df, num_partitions=8)
+    return schema_diff_df(spark, EVENTS_CONTRACT_SCHEMA, res.schema)
+
+
 def q_transcript_verdicts(spark, sf_dir):
     """Flagship transcript pipeline end-to-end (rows-only: the inference
     fold + injected-violation bookkeeping are not DuckDB-expressible):
@@ -1433,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_events_schema": q_infer_events_schema,
         "infer_props_json_schema": q_infer_props_json_schema,
         "transcript_verdicts": q_transcript_verdicts,
+        "events_orphan_users": q_events_orphan_users,
+        "events_schema_drift": q_events_schema_drift,
         "embeddings_lsh_pairs": q_embeddings_lsh_pairs,
         "embeddings_lsh_md5": q_embeddings_lsh_md5,
         "embeddings_ivf_topk": q_embeddings_ivf_topk,
@@ -1485,5 +1544,6 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_cos_pairs": SQL_EMBEDDINGS_COS_PAIRS,
         "embeddings_ivf_exact": SQL_EMBEDDINGS_IVF_EXACT,
         "embeddings_lsh_md5": _sql_embeddings_lsh_md5(),
+        "events_orphan_users": SQL_EVENTS_ORPHAN_USERS,
         "embeddings_label_profile": SQL_EMBEDDINGS_LABEL_PROFILE,
     }

@@ -229,6 +229,39 @@ def duplicate_rows(df: DataFrame, keys: list) -> DataFrame:
     return df.join(F.broadcast(dups), on=keys, how="left_semi")
 
 
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str | None = None,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Cross-table referential integrity: child keys with no matching parent
+    row, as bounded ``(key, orphan_rows)`` counts rather than the orphan rows
+    themselves (report the keys; fetch rows with a semi join when needed).
+
+    Scale shape: the parent side is reduced to DISTINCT keys first, so a
+    dimension-sized parent broadcasts and the check costs the child scan plus
+    a map-side-combined groupBy of orphans only — no child shuffle before the
+    anti join, no row-proportional shuffle after it unless most of the child
+    is orphaned (at which point the orphan counts ARE the story). Set
+    ``broadcast_parent=False`` for fact-to-fact checks where the key set
+    itself is large; AQE then picks the join strategy.
+
+    NULL child keys never match any parent (SQL join semantics) and are
+    reported under the NULL key group — a FK column with NULLs surfaces as
+    one row instead of disappearing."""
+    parent_key = parent_key or child_key
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    return (
+        child.join(keys, on=child_key, how="left_anti")
+        .groupBy(child_key)
+        .agg(F.count(F.lit(1)).alias("orphan_rows"))
+    )
+
+
 # --- referential turn-ordering (SURVEY.md §2.5) --------------------------------
 
 

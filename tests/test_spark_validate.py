@@ -173,3 +173,35 @@ def test_merge_partials_local_negative_turns():
     )
     got = V._merge_partials_local(partials)
     assert got == {"dup_rows_excess": 1, "ordering_violations": 1}
+
+
+def test_referential_violations(spark):
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (7, "d"), (7, "e"), (7, "f"), (None, "g")],
+        "fk long, payload string",
+    )
+    parent = spark.createDataFrame(
+        [(1, "p1"), (2, "p2"), (2, "p2dup"), (3, "p3")], "pk long, name string"
+    )
+    got = {
+        (r.fk, r.orphan_rows)
+        for r in V.referential_violations(child, parent, "fk", "pk").collect()
+    }
+    # 7 has no parent (3 rows); NULL fk matches nothing (1 row, reported);
+    # 1 and 2 are covered (parent dup keys must not multiply matches)
+    assert got == {(7, 3), (None, 1)}
+    # non-broadcast path: identical result
+    got2 = {
+        (r.fk, r.orphan_rows)
+        for r in V.referential_violations(
+            child, parent, "fk", "pk", broadcast_parent=False
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_referential_violations_plan_broadcasts(spark):
+    child = spark.range(0, 1000).withColumnRenamed("id", "fk")
+    parent = spark.range(0, 500).withColumnRenamed("id", "pk")
+    plan = V.referential_violations(child, parent, "fk", "pk")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
