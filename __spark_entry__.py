@@ -569,6 +569,65 @@ FROM g, t
 """
 
 
+def q_events_type_psi(spark, sf_dir):
+    """Population Stability Index of event_type between the user_id%2
+    halves (operators/drift.psi_categorical): per-category (pa-pb)*ln(pa/pb)
+    terms with eps-clamped proportions — the monitor-friendly third drift
+    check next to chi-square and KS; one (category,count) shuffle total."""
+    from jsonschema_infer_spark.operators.drift import psi_categorical
+
+    df = _load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    df_a = df.where(F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    df_b = df.where(F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    return psi_categorical(df_a, df_b, "event_type")
+
+
+SQL_EVENTS_TYPE_PSI = """
+WITH g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type),
+t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb FROM g)
+SELECT event_type, n_a, n_b,
+  round((greatest(n_a / ta, 1e-6) - greatest(n_b / tb, 1e-6))
+        * ln(greatest(n_a / ta, 1e-6) / greatest(n_b / tb, 1e-6)), 6) AS psi_term
+FROM g, t
+"""
+
+
+def q_events_value_psi(spark, sf_dir):
+    """Numeric PSI on `value` over a 32-bucket shared fixed-width histogram
+    (operators/drift.psi_numeric) — the bounded-cardinality drift form for
+    continuous columns: bucket counts are the only shuffle, no global sort
+    (contrast events_value_ks's exact-but-sorted form)."""
+    from jsonschema_infer_spark.operators.drift import psi_numeric
+
+    df = _load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    df_a = df.where(F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    df_b = df.where(F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    return psi_numeric(df_a, df_b, "value", bins=32)
+
+
+SQL_EVENTS_VALUE_PSI = """
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS v, user_id FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+g AS (
+  SELECT least(CAST(floor((v - lo) / ((hi - lo) / 32)) AS BIGINT), 31) AS bucket,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM v, b GROUP BY 1),
+t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb FROM g)
+SELECT bucket, n_a, n_b,
+  round((greatest(n_a / ta, 1e-6) - greatest(n_b / tb, 1e-6))
+        * ln(greatest(n_a / ta, 1e-6) / greatest(n_b / tb, 1e-6)), 6) AS psi_term
+FROM g, t
+"""
+
+
 def q_events_value_ks(spark, sf_dir):
     """Exact two-sample KS D statistic on `value` between the user_id%2
     halves — declarative twin of operators/drift._exact_ks_d: groupBy on the
@@ -1455,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         # drift family
         "events_type_drift": q_events_type_drift,
+        "events_type_psi": q_events_type_psi,
+        "events_value_psi": q_events_value_psi,
         "events_value_ks": q_events_value_ks,
         "events_value_ks_hist": q_events_value_ks_hist,
         # relational coverage
@@ -1512,6 +1573,8 @@ def oracle_sql() -> dict[str, str]:
         "events_user_sessions": SQL_EVENTS_USER_SESSIONS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_type_drift": SQL_EVENTS_TYPE_DRIFT,
+        "events_type_psi": SQL_EVENTS_TYPE_PSI,
+        "events_value_psi": SQL_EVENTS_VALUE_PSI,
         "events_value_ks": SQL_EVENTS_VALUE_KS,
         "events_value_ks_hist": SQL_EVENTS_VALUE_KS_HIST,
         "q1_pricing_summary": SQL_Q1,

@@ -127,6 +127,99 @@ def numeric_drift(
     }
 
 
+def psi_categorical(
+    df_a: DataFrame, df_b: DataFrame, column: str, eps: float = 1e-6
+) -> DataFrame:
+    """Population Stability Index per category: ``(pa - pb) * ln(pa / pb)``
+    with proportions clamped to ``eps`` so one-sided categories contribute
+    a large finite term instead of infinity. Total PSI = sum of terms
+    (common reading: < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted).
+
+    Same scale shape as ``categorical_drift``: one union scan, one
+    map-side-combined groupBy shuffling (category, count) pairs, totals
+    broadcast back — no row-proportional shuffle at any size. Unlike the
+    chi-square it needs no p-value machinery, which is why ops teams run
+    it per-snapshot as a monitor; both live here so the report can carry
+    both. Returns (category, n_a, n_b, psi_term) rows, terms rounded to 6
+    decimals for deterministic comparison."""
+    a = df_a.select(F.col(column).alias("cat")).where(F.col("cat").isNotNull())
+    b = df_b.select(F.col(column).alias("cat")).where(F.col("cat").isNotNull())
+    u = a.withColumn("side", F.lit(1)).unionByName(b.withColumn("side", F.lit(0)))
+    g = u.groupBy("cat").agg(
+        F.sum("side").alias("n_a"),
+        F.sum(F.lit(1) - F.col("side")).alias("n_b"),
+    )
+    tot = g.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    pa = F.greatest(F.col("n_a") / F.col("ta"), F.lit(eps))
+    pb = F.greatest(F.col("n_b") / F.col("tb"), F.lit(eps))
+    term = (pa - pb) * F.log(pa / pb)
+    return j.select(
+        F.col("cat").alias(column),
+        "n_a",
+        "n_b",
+        F.round(term, 6).alias("psi_term"),
+    )
+
+
+def psi_numeric(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column,
+    bins: int = 32,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI over a shared fixed-width histogram of a numeric column — the
+    bounded-cardinality form for continuous values (bucket count is the
+    only shuffle, like ``_hist_ks_d``). Bucket math is plain
+    ``least(floor((v - lo) / width), bins - 1)`` so an external SQL engine
+    reproduces it bit-for-bit (no width_bucket boundary quirks). ``lo``/
+    ``hi`` default to the union min/max (one extra tiny agg scan); pass
+    them explicitly to pin the layout across many snapshots."""
+    va = df_a.select(
+        (F.col(column) if isinstance(column, str) else column)
+        .cast("double")
+        .alias("v")
+    ).where(F.col("v").isNotNull())
+    vb = df_b.select(
+        (F.col(column) if isinstance(column, str) else column)
+        .cast("double")
+        .alias("v")
+    ).where(F.col("v").isNotNull())
+    if lo is None or hi is None:
+        bounds = (
+            va.unionByName(vb)
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .collect()[0]
+        )
+        lo = float(bounds.lo) if lo is None else lo
+        hi = float(bounds.hi) if hi is None else hi
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bucket = F.least(
+        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(bins - 1),
+    )
+    u = va.withColumn("side", F.lit(1)).unionByName(vb.withColumn("side", F.lit(0)))
+    g = u.select(bucket.alias("bucket"), "side").groupBy("bucket").agg(
+        F.sum("side").alias("n_a"),
+        F.sum(F.lit(1) - F.col("side")).alias("n_b"),
+    )
+    tot = g.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    pa = F.greatest(F.col("n_a") / F.col("ta"), F.lit(eps))
+    pb = F.greatest(F.col("n_b") / F.col("tb"), F.lit(eps))
+    term = (pa - pb) * F.log(pa / pb)
+    return j.select("bucket", "n_a", "n_b", F.round(term, 6).alias("psi_term"))
+
+
 def ts_deltas(df: DataFrame, conv_col="conv_id", idx_col="turn_idx", ts_col="ts"):
     """Per-turn inter-arrival seconds (bounded per-conversation window)."""
     w = Window.partitionBy(conv_col).orderBy(idx_col)

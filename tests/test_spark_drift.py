@@ -56,3 +56,65 @@ def test_categorical_drift_detects_reweighting(snaps):
     assert r["p_value"] < 1e-6
     same = categorical_drift(a, a, "role")
     assert same["statistic"] == pytest.approx(0.0)
+
+
+def test_psi_categorical_matches_hand_computation(spark):
+    import math
+
+    from jsonschema_infer_spark.operators.drift import psi_categorical
+
+    a = spark.createDataFrame([("x",)] * 80 + [("y",)] * 20, "cat string")
+    b = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "cat string")
+    rows = {r.cat: r for r in psi_categorical(a, b, "cat").collect()}
+    exp_x = (0.8 - 0.5) * math.log(0.8 / 0.5)
+    exp_y = (0.2 - 0.5) * math.log(0.2 / 0.5)
+    assert rows["x"].psi_term == pytest.approx(exp_x, abs=1e-6)
+    assert rows["y"].psi_term == pytest.approx(exp_y, abs=1e-6)
+    assert rows["x"].n_a == 80 and rows["x"].n_b == 50
+
+
+def test_psi_one_sided_category_finite(spark):
+    from jsonschema_infer_spark.operators.drift import psi_categorical
+
+    a = spark.createDataFrame([("only_a",)] * 10, "cat string")
+    b = spark.createDataFrame([("only_b",)] * 10, "cat string")
+    rows = psi_categorical(a, b, "cat").collect()
+    total = sum(r.psi_term for r in rows)
+    assert all(abs(r.psi_term) < float("inf") for r in rows)
+    assert total > 0.25  # fully disjoint distributions read as drifted
+
+
+def test_psi_identical_snapshots_zero(snaps):
+    from jsonschema_infer_spark.operators.drift import psi_categorical, psi_numeric
+    from pyspark.sql import functions as F
+
+    a, _ = snaps
+    cat = psi_categorical(a, a, "role").collect()
+    assert all(r.psi_term == 0.0 for r in cat)
+    num = psi_numeric(a, a, F.length("text"), bins=16).collect()
+    assert all(r.psi_term == 0.0 for r in num)
+
+
+def test_psi_detects_transcript_shift(snaps):
+    from jsonschema_infer_spark.operators.drift import psi_categorical, psi_numeric
+    from pyspark.sql import functions as F
+
+    a, b = snaps
+    total_cat = sum(r.psi_term for r in psi_categorical(a, b, "role").collect())
+    assert total_cat > 0.01, total_cat
+    total_num = sum(
+        r.psi_term
+        for r in psi_numeric(a, b, F.length("text"), bins=32).collect()
+    )
+    assert total_num > 0.01, total_num
+
+
+def test_psi_numeric_pinned_bounds_stable_buckets(snaps):
+    from jsonschema_infer_spark.operators.drift import psi_numeric
+    from pyspark.sql import functions as F
+
+    a, b = snaps
+    auto = psi_numeric(a, b, F.length("text"), bins=16)
+    pinned = psi_numeric(a, b, F.length("text"), bins=16, lo=0.0, hi=4000.0)
+    assert {r.bucket for r in auto.collect()} <= set(range(16))
+    assert {r.bucket for r in pinned.collect()} <= set(range(16))
