@@ -811,6 +811,97 @@ FROM documents
 """
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition features
+    (text.repetition_features): duplicate-line fraction, duplicate-line
+    character fraction, duplicate 2-/3-gram occurrence fractions, and the
+    over-threshold flag — all pure Column expressions, one codegen'd
+    projection in the scan (size(arr) - size(array_distinct(arr)))."""
+    from jsonschema_infer_spark.operators.text import repetition_features
+
+    df = _load(spark, sf_dir, "documents")
+    return repetition_features(df, "text", keep=["doc_id"])
+
+
+SQL_DOCS_REPETITION = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> length(l) > 0) AS lines,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, lines,
+    list_distinct(lines) AS dlines,
+    coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0)
+      AS chars_all,
+    coalesce(list_aggregate(list_transform(list_distinct(lines),
+                                           x -> length(x)), 'sum'), 0)
+      AS chars_d,
+    list_filter(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i] || ' ' || toks[i + 1]),
+                s -> s IS NOT NULL) AS g2,
+    list_filter(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+                s -> s IS NOT NULL) AS g3
+  FROM base)
+SELECT doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  round(CASE WHEN len(lines) > 0
+        THEN (len(lines) - len(dlines)) * 1.0 / len(lines) ELSE 0 END, 4)
+    AS dup_line_frac,
+  round(CASE WHEN chars_all > 0
+        THEN (chars_all - chars_d) * 1.0 / chars_all ELSE 0 END, 4)
+    AS dup_line_char_frac,
+  round(CASE WHEN len(g2) > 0
+        THEN (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2) ELSE 0 END, 4)
+    AS dup_2gram_frac,
+  round(CASE WHEN len(g3) > 0
+        THEN (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) ELSE 0 END, 4)
+    AS dup_3gram_frac,
+  (round(CASE WHEN len(lines) > 0
+         THEN (len(lines) - len(dlines)) * 1.0 / len(lines) ELSE 0 END, 4) > 0.30
+   OR round(CASE WHEN chars_all > 0
+            THEN (chars_all - chars_d) * 1.0 / chars_all ELSE 0 END, 4) > 0.20
+   OR round(CASE WHEN len(g2) > 0
+            THEN (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2) ELSE 0 END, 4) > 0.20)
+    AS repetitive
+FROM g
+"""
+
+
+def q_docs_decontaminate(spark, sf_dir):
+    """Test-set decontamination (dedup.contamination_hits): corpus docs
+    (doc_id % 50 != 0) sharing word 3-grams with a benchmark subset
+    (doc_id % 50 == 0). Benchmark collapses to a distinct shingle set and
+    broadcasts; the only shuffle is the per-doc matched-shingle count."""
+    from jsonschema_infer_spark.operators.dedup import contamination_hits
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    return contamination_hits(corpus, bench, "text", "doc_id", n=3)
+
+
+SQL_DOCS_DECONTAMINATE = """
+WITH norm AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
+    s -> s IS NOT NULL))) AS shingle
+  FROM norm),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS matched_shingles
+FROM corp JOIN bench USING (shingle)
+GROUP BY corp.doc_id
+"""
+
+
 def q_docs_langid(spark, sf_dir):
     from jsonschema_infer_spark.operators.text import lang_id
 
@@ -1535,6 +1626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
+        "docs_decontaminate": q_docs_decontaminate,
         "docs_langid": q_docs_langid,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_pii_scan": q_docs_pii_scan,
@@ -1592,6 +1685,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_per_nation": SQL_CUSTOMERS_PER_NATION,
         "docs_token_stats": SQL_DOCS_TOKEN_STATS,
         "docs_quality": SQL_DOCS_QUALITY,
+        "docs_repetition": SQL_DOCS_REPETITION,
+        "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_pii_scan": SQL_DOCS_PII_SCAN,

@@ -145,6 +145,63 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- benchmark decontamination --------------------------------------------------
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles: str = "word",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: for each corpus document, the number of
+    distinct word/char n-grams it shares with ANY benchmark document —
+    the standard overlap check run before training to keep eval data out
+    of the corpus. Returns only contaminated docs as ``(id, matched_
+    shingles)``; drop them with a left-anti join (see ``decontaminate``).
+
+    Scale shape: the benchmark side collapses to a DISTINCT shingle set
+    and broadcasts (eval suites are tiny next to the corpus), so the check
+    is one corpus scan with a map-side broadcast-hash probe — the only
+    shuffle is the per-doc count of MATCHED shingles, which for a clean
+    corpus is near-empty. Set ``broadcast_benchmark=False`` if the
+    "benchmark" is itself corpus-sized; AQE then picks the join."""
+    sh = (
+        char_shingles(F.col(text_col), n)
+        if shingles == "char"
+        else word_shingles(F.col(text_col), n)
+    )
+    bench = benchmark.select(F.explode(sh).alias("shingle")).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    corp = docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return (
+        corp.join(bench, "shingle", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("matched_shingles"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles: str = "word",
+    min_hits: int = 1,
+) -> DataFrame:
+    """The corpus with benchmark-overlapping documents removed: docs whose
+    shared-shingle count reaches ``min_hits`` are dropped via a broadcast
+    left-anti join on the (small) contaminated-id set."""
+    hits = contamination_hits(docs, benchmark, text_col, id_col, n, shingles)
+    bad = hits.filter(F.col("matched_shingles") >= min_hits).select(id_col)
+    return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
 # --- MinHash + LSH --------------------------------------------------------------
 
 

@@ -93,6 +93,61 @@ def quality_features(df: DataFrame, text_col: str = "text", keep: list | None = 
     return out.withColumn("quality_score", F.round(score, 4))
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", keep: list | None = None
+) -> DataFrame:
+    """Intra-document repetition features (the Gopher-rules family): the
+    fraction of non-blank lines that repeat an earlier line, the fraction
+    of characters inside those repeated lines, and the duplicate word
+    2-gram / 3-gram occurrence fractions. ``repetitive`` flags documents
+    over the published thresholds (dup lines > 0.30 or dup line chars
+    > 0.20 or dup 2-grams > 0.20).
+
+    Pure Column expressions — duplicates are counted as
+    ``size(arr) - size(array_distinct(arr))`` so the whole feature set is
+    one codegen'd projection inside the scan, no shuffle, no Python."""
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    dlines = F.array_distinct(lines)
+    sum_len = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    safe = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 4
+    )
+    n_lines = F.size(lines)
+    chars_all = sum_len(lines)
+
+    toks = F.split(normalize_text(c), " ")
+    cnt = F.size(toks)
+
+    def ngram_dup_frac(n: int):
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        grams = F.filter(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+            lambda s: F.size(F.split(s, " ")) == n,
+        )
+        return safe(F.size(grams) - F.size(F.array_distinct(grams)), F.size(grams))
+
+    feats = {
+        "n_lines": n_lines,
+        "dup_line_frac": safe(n_lines - F.size(dlines), n_lines),
+        "dup_line_char_frac": safe(chars_all - sum_len(dlines), chars_all),
+        "dup_2gram_frac": ngram_dup_frac(2),
+        "dup_3gram_frac": ngram_dup_frac(3),
+    }
+    out = df.select(*(keep or df.columns), *(v.alias(k) for k, v in feats.items()))
+    return out.withColumn(
+        "repetitive",
+        (F.col("dup_line_frac") > 0.30)
+        | (F.col("dup_line_char_frac") > 0.20)
+        | (F.col("dup_2gram_frac") > 0.20),
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact-ish dedup: lowercase, collapse whitespace,
     strip leading/trailing space."""

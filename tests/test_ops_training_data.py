@@ -285,3 +285,79 @@ def test_simhash_md5_mode_hamming0_covers_exact_dups(spark, docs):
     near_set = {(r.id_a, r.id_b) for r in near.collect()}
     exact_set = {(r.id_a, r.id_b) for r in exact.collect()}
     assert exact_set <= near_set
+
+
+def test_repetition_features_known_values(spark):
+    from jsonschema_infer_spark.operators.text import repetition_features
+
+    # 4 non-blank lines, "same line" repeated 3x -> 2 duplicate lines;
+    # tokens: same line same line same line other -> "same line" 2-gram dups
+    text = "same line\nsame line\n\nsame line\nother"
+    df = spark.createDataFrame([(1, text), (2, "all unique lines\nhere now")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_features(df, "text").collect()}
+    r1 = rows[1]
+    assert r1.n_lines == 4
+    assert r1.dup_line_frac == 0.5  # 2 of 4 lines repeat an earlier one
+    # chars: 4 lines of [9,9,9,5] = 32; distinct = 9+5 = 14 -> 18/32
+    assert r1.dup_line_char_frac == round(18 / 32, 4)
+    # 2-grams of [same,line,same,line,same,line,other]: 6 grams,
+    # distinct {same line, line same, line other} = 3 -> 3/6
+    assert r1.dup_2gram_frac == 0.5
+    assert r1.repetitive
+    r2 = rows[2]
+    assert r2.dup_line_frac == 0.0 and not r2.repetitive
+
+
+def test_repetition_features_empty_and_single(spark):
+    from jsonschema_infer_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "   \n  \n")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_features(df, "text").collect()}
+    for i in (1, 2, 3):
+        r = rows[i]
+        assert r.dup_line_frac == 0.0 and r.dup_2gram_frac == 0.0
+        assert not r.repetitive
+    assert rows[1].n_lines == 0 and rows[3].n_lines == 0
+    assert rows[2].n_lines == 1
+
+
+def test_contamination_hits_and_decontaminate(spark):
+    from jsonschema_infer_spark.operators.dedup import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "something with the quick brown fox inside it"),  # 2 shared 3-grams
+            (2, "completely unrelated text about databases"),
+            (3, "quick brown fox jumps high"),  # 2 shared 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.matched_shingles
+            for r in contamination_hits(docs, bench, n=3).collect()}
+    assert hits == {1: 2, 3: 2}
+    clean = {r.doc_id for r in decontaminate(docs, bench, n=3).collect()}
+    assert clean == {2}
+    # min_hits above the overlap keeps everything
+    loose = {r.doc_id for r in decontaminate(docs, bench, n=3, min_hits=5).collect()}
+    assert loose == {1, 2, 3}
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    from jsonschema_infer_spark.operators.dedup import contamination_hits
+
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        contamination_hits(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
