@@ -51,11 +51,21 @@ def main():
     warm = spark.range(0, cores * 4, 1, cores * 4)
     warm.mapInArrow(lambda it: it, "id long").count()
 
+    # task granularity scaled to the cluster: aim for >=6 waves of fused
+    # scan tasks per core so the last wave can't strand most of the cluster
+    # (233 row-groups at 4 rg/task = 59 tasks = 1.8 waves at 32 cores)
+    import pyarrow.parquet as pq
+
+    n_rg = pq.ParquetFile(args.data).num_row_groups
+    rg_per_task = max(1, min(4, n_rg // (cores * 6)))
+
     t0 = time.time()
     # fused one-pass scan: inference fold + per-conv integrity partials off
     # the same native pyarrow row-group read (the second data pass the
     # unfused composition paid is gone — see operators/pipeline.py)
-    res, integ = infer_and_integrity_parquet(spark, args.data)
+    res, integ = infer_and_integrity_parquet(
+        spark, args.data, rg_per_task=rg_per_task
+    )
     n_dup = integ["dup_rows_excess"]
     n_ord = integ["ordering_violations"]
     t_fused = time.time() - t0
