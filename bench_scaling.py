@@ -353,7 +353,7 @@ def main():
         "(pair ceiling " + str(dict((f'{a}->{b}', h) for a, b, _, h in pair_rows).get('8->32')) + " for 8->32), and the shuffle/scan stages share one",
         "virtio disk and one memory bus at every level. The engine-side",
         "properties that DO transfer to a real cluster are evidenced",
-        "elsewhere in this file and in the code: 105-way splittable scan,",
+        "elsewhere in this file and in the code: 233-way splittable scan,",
         "map-side-combined aggregations, single-shuffle integrity check,",
         "associative treeReduce schema merge (driver work O(columns), not",
         "O(rows)), no per-row Python, no driver-side data loops.",

@@ -101,6 +101,82 @@ def category_drift_foreach_batch(
     return fb
 
 
+def psi_drift_foreach_batch(
+    ref_counts: dict,
+    out_path: str,
+    threshold: float = 0.25,
+    eps: float = 1e-6,
+):
+    """foreachBatch verdict stage computing the Population Stability Index
+    of each finalized window's category (or bucket) counts vs the
+    reference profile — the thresholded, p-value-free monitor ops teams
+    page on (see operators/drift.psi_categorical for the batch twin).
+    One verdict row per window: window_start, n_window, psi, drifted.
+
+    Works on either upstream stage: `windowed_category_counts` (column
+    ``category``) or `windowed_histogram_counts` (column ``bucket``)."""
+    from ..functions.stats import psi as _psi
+
+    ref = {str(k): int(v) for k, v in ref_counts.items()}
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        if not rows:
+            return
+        key = "category" if "category" in batch_df.columns else "bucket"
+        by_win: dict = {}
+        for r in rows:
+            by_win.setdefault(r.window_start, {})[str(r[key])] = int(r.n)
+        out = []
+        for win_start, counts in sorted(by_win.items()):
+            v = _psi(ref, counts, eps)
+            out.append(
+                (win_start, int(sum(counts.values())), float(v), bool(v > threshold))
+            )
+        spark = batch_df.sparkSession
+        (
+            spark.createDataFrame(
+                out,
+                "window_start timestamp, n_window long, psi double, "
+                "drifted boolean",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return fb
+
+
+def start_psi_drift_monitor(
+    stream_df: DataFrame,
+    ref_counts: dict,
+    out_path: str,
+    checkpoint: str,
+    cat_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    threshold: float = 0.25,
+    trigger_available_now: bool = True,
+):
+    """PSI twin of `start_category_drift_monitor`: distributed windowed
+    category counts -> driver-side PSI verdict per finalized window."""
+    counts = windowed_category_counts(
+        stream_df, cat_col, ts_col=ts_col, window=window, watermark=watermark
+    )
+    writer = (
+        counts.writeStream.foreachBatch(
+            psi_drift_foreach_batch(ref_counts, out_path, threshold=threshold)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_histogram_counts(
     stream_df: DataFrame,
     value_col: str,

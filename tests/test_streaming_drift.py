@@ -121,3 +121,47 @@ def test_streaming_ks_drift(spark, tmp_path):
     assert got[0].n_window == 20 and got[0].ks_d == 0.0 and not got[0].drifted
     assert got[1].n_window == 20 and abs(got[1].ks_d - 0.9) < 1e-9
     assert got[1].drifted and got[1].p_value < 0.05
+
+
+def test_streaming_psi_drift(spark, tmp_path):
+    from jsonschema_infer_spark.streaming.drift import start_psi_drift_monitor
+
+    data = tmp_path / "psi_in"
+    data.mkdir()
+    ckpt = str(tmp_path / "psi_ckpt")
+    out = str(tmp_path / "psi_out")
+
+    def cycle():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(data))
+        q = start_psi_drift_monitor(
+            stream,
+            REF,
+            out_path=out,
+            checkpoint=ckpt,
+            cat_col="role",
+            window="1 hour",
+            watermark="1 hour",
+        )
+        q.awaitTermination(120)
+
+    # hour 0 mirrors the reference proportions; hour 1 is all-user
+    h0 = [("user", 10 * i + 1) for i in range(6)] + [
+        ("assistant", 10 * i + 2) for i in range(6)
+    ]
+    h1 = [("user", HOUR + 10 * i + 1) for i in range(9)]
+    _write(str(data), "b0.parquet", h0 + h1)
+    cycle()
+    _write(str(data), "b1.parquet", [("user", 3 * HOUR + 5)])
+    cycle()
+    _write(str(data), "b2.parquet", [("user", 4 * HOUR + 5)])
+    cycle()
+
+    got = {r.window_start.hour: r for r in spark.read.parquet(out).collect()}
+    assert 0 in got and 1 in got
+    assert got[0].psi == 0.0 and not got[0].drifted  # exact proportions
+    assert got[1].drifted and got[1].psi > 0.25  # one-sided window
+
+    # the verdict agrees with the pure function it delegates to
+    from jsonschema_infer_spark.functions.stats import psi as psi_fn
+
+    assert got[1].psi == psi_fn(REF, {"user": 9})
