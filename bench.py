@@ -33,8 +33,13 @@ BENCH_QUERIES = [
     "docs_quality",
     "docs_top_jaccard",
     "events_type_drift",
+    "events_type_psi",
+    "events_value_psi",
     "events_value_ks",
     "events_value_ks_hist",
+    "events_orphan_users",
+    "docs_repetition",
+    "docs_decontaminate",
     "embeddings_topk",
     "embeddings_cos_pairs",
     "minhash_dups_docs",
@@ -71,10 +76,16 @@ def run_transcript_pipeline(spark, path: str) -> dict:
     from jsonschema_infer_spark.operators.pipeline import infer_and_integrity_parquet
 
     df = spark.read.parquet(path)
+    # task granularity scaled to the cluster (same rule as bench/pipeline_job)
+    import pyarrow.parquet as pq
+
+    cores = spark.sparkContext.defaultParallelism
+    n_rg = pq.ParquetFile(path).num_row_groups
+    rg_per_task = max(1, min(4, n_rg // (cores * 6)))
     t0 = time.time()
     # fused one-pass scan: inference + integrity partials off the same
     # native pyarrow row-group read (see operators/pipeline.py)
-    res, integ = infer_and_integrity_parquet(spark, path)
+    res, integ = infer_and_integrity_parquet(spark, path, rg_per_task=rg_per_task)
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
     agg = V.violation_counts(df, cons).collect()
     secs = time.time() - t0
