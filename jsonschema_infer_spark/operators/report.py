@@ -33,12 +33,24 @@ def run_validation_report(
     num_buckets: int = 64,
     keep_cols: list | None = None,
     reference=None,
+    schema_drift: bool = False,
+    fk_checks: list | None = None,
 ) -> dict:
     """``reference`` (an InferResult from a trusted snapshot) switches the
     run from self-validation to drift-style validation: constraints come
     from the reference schema, so anomalies in ``df`` are reported instead
     of being absorbed into a freshly inferred schema (a null in a required
-    column would otherwise just make the column optional)."""
+    column would otherwise just make the column optional).
+
+    ``schema_drift=True`` (needs ``reference``) additionally infers a
+    fresh schema from ``df`` (one extra scan) and writes the structural
+    diff reference→fresh to ``schema_drift.json`` (plans/diff records:
+    property ±, type widening, format/const transitions, required ±).
+
+    ``fk_checks`` is a list of ``(parent_df, child_key, parent_key)``
+    referential-integrity checks; orphan counts land in
+    ``referential.parquet`` (one file per check, suffixed by child key)
+    and per-check totals in metrics."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
 
@@ -78,6 +90,37 @@ def run_validation_report(
         metrics["integrity"] = V.transcript_integrity_summary(
             df, conv_col, idx_col
         )
+    if schema_drift:
+        if reference is None:
+            raise ValueError("schema_drift=True needs a reference InferResult")
+        from ..plans.diff import schema_diff
+
+        fresh = infer_dataframe(df, config)
+        records = schema_diff(reference.schema, fresh.schema)
+        with open(os.path.join(out_dir, "schema_drift.json"), "w") as f:
+            json.dump(records, f, indent=2, sort_keys=True)
+        metrics["schema_drift_changes"] = len(records)
+    if fk_checks:
+        ref_counts = {}
+        for parent_df, child_key, parent_key in fk_checks:
+            orphans = V.referential_violations(
+                df, parent_df, child_key, parent_key
+            )
+            orphans.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"referential_{child_key}.parquet")
+            )
+            from pyspark.sql import functions as F
+
+            # count(lit(1)), not count(key): the NULL-FK group is a real
+            # orphan key and count(col) would skip it
+            agg = orphans.agg(
+                F.sum("orphan_rows").alias("r"), F.count(F.lit(1)).alias("k")
+            ).collect()[0]
+            ref_counts[child_key] = {
+                "orphan_rows": int(agg.r or 0),
+                "orphan_keys": int(agg.k or 0),
+            }
+        metrics["referential"] = ref_counts
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2, sort_keys=True)
     return metrics

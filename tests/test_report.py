@@ -49,3 +49,42 @@ def test_report_against_reference_schema(spark, tx_paths, tmp_path):
     assert metrics["constraints"]["required:role"] == len(log["null_role_rows"])
     assert metrics["constraints"]["enum:role"] == len(log["bad_role_rows"])
     assert metrics["rows"] == viol.count()
+
+
+def test_report_schema_drift_and_fk_checks(spark, tx_paths, tmp_path):
+    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+
+    viol = spark.read.parquet(tx_paths["viol"])
+    ref = infer_dataframe(viol.limit(200))
+    out = str(tmp_path / "report_full")
+
+    # parent covering only some conversations -> real orphans
+    parent = viol.select("conv_id").distinct().limit(5)
+    metrics = run_validation_report(
+        viol,
+        out,
+        reference=ref,
+        schema_drift=True,
+        fk_checks=[(parent, "conv_id", "conv_id")],
+    )
+
+    assert os.path.exists(os.path.join(out, "schema_drift.json"))
+    with open(os.path.join(out, "schema_drift.json")) as f:
+        records = json.load(f)
+    assert metrics["schema_drift_changes"] == len(records)
+
+    fk = metrics["referential"]["conv_id"]
+    orph = spark.read.parquet(os.path.join(out, "referential_conv_id.parquet"))
+    assert fk["orphan_keys"] == orph.count()
+    assert fk["orphan_rows"] == sum(r.orphan_rows for r in orph.collect())
+    # covered convs must not be reported
+    covered = {r.conv_id for r in parent.collect()}
+    assert not ({r.conv_id for r in orph.collect()} & covered)
+
+
+def test_report_schema_drift_requires_reference(spark, tx_paths, tmp_path):
+    import pytest
+
+    viol = spark.read.parquet(tx_paths["viol"])
+    with pytest.raises(ValueError):
+        run_validation_report(viol, str(tmp_path / "x"), schema_drift=True)
