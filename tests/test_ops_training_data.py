@@ -361,3 +361,80 @@ def test_contamination_plan_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def _py_repetition(text):
+    """Pure-Python reference implementation of repetition_features."""
+    import re
+
+    lines = [l.strip() for l in text.split("\n")]
+    lines = [l for l in lines if l]
+    dlines = list(dict.fromkeys(lines))
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+    def grams(n):
+        out = [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)]
+        return [g for g in out if len(g.split(" ")) == n]
+
+    def frac(num, den):
+        return round(num / den, 4) if den > 0 else 0.0
+
+    chars_all = sum(len(l) for l in lines)
+    chars_d = sum(len(l) for l in dlines)
+    g2, g3 = grams(2), grams(3)
+    return {
+        "n_lines": len(lines),
+        "dup_line_frac": frac(len(lines) - len(dlines), len(lines)),
+        "dup_line_char_frac": frac(chars_all - chars_d, chars_all),
+        "dup_2gram_frac": frac(len(g2) - len(set(g2)), len(g2)),
+        "dup_3gram_frac": frac(len(g3) - len(set(g3)), len(g3)),
+    }
+
+
+def test_repetition_features_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from jsonschema_infer_spark.operators.text import repetition_features
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "x", "42", "l'été"])
+    line = st.lists(words, min_size=0, max_size=6).map(" ".join)
+    doc = st.lists(line, min_size=0, max_size=8).map("\n".join)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(doc, min_size=1, max_size=4))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.asDict() for r in repetition_features(df, "text").collect()}
+        for i, t in enumerate(texts):
+            want = _py_repetition(t)
+            for k, v in want.items():
+                assert got[i][k] == v, (k, t, got[i][k], v)
+
+    check()
+
+
+def test_psi_column_form_matches_driver_function(spark):
+    import random
+
+    from jsonschema_infer_spark.functions.stats import psi as psi_fn
+    from jsonschema_infer_spark.operators.drift import psi_categorical
+
+    rng = random.Random(7)
+    cats = "abcdef"
+    for _ in range(5):
+        ca = {c: rng.randint(0, 40) for c in cats}
+        cb = {c: rng.randint(0, 40) for c in cats}
+        ca = {k: v for k, v in ca.items() if v} or {"a": 1}
+        cb = {k: v for k, v in cb.items() if v} or {"b": 1}
+        a = spark.createDataFrame([(c,) for c, n in ca.items() for _ in range(n)], "cat string")
+        b = spark.createDataFrame([(c,) for c, n in cb.items() for _ in range(n)], "cat string")
+        total = sum(r.psi_term for r in psi_categorical(a, b, "cat").collect())
+        # Column form rounds per-term to 6dp; allow that much slack per key
+        assert abs(total - psi_fn(ca, cb)) < 1e-5 * (len(cats) + 1), (ca, cb)
