@@ -569,6 +569,58 @@ FROM g, t
 """
 
 
+def q_events_violation_examples(spark, sf_dir):
+    """Bounded violation triage (validate.violation_examples): up to 3
+    deterministic example rows per constraint of a frozen producer
+    contract — enum on event_type, numeric range on value, format on ts
+    (a timestamp column satisfies date-time by rendering, so it
+    contributes no examples). The window runs over violating rows only."""
+    from jsonschema_infer_spark.operators.validate import (
+        Constraint,
+        format_predicate,
+        violation_examples,
+    )
+
+    df = _load(spark, sf_dir, "events")
+    nullsafe = lambda c, p: c.isNull() | p  # noqa: E731
+    et, val, ts = F.col("event_type"), F.col("value"), F.col("ts")
+    cons = [
+        Constraint(
+            "enum:event_type", "event_type", "enum",
+            nullsafe(et, et.isin(["click", "view", "signup"])),
+        ),
+        Constraint(
+            "range:value", "value", "range", nullsafe(val, val.between(0, 100))
+        ),
+        Constraint(
+            "format:ts:date-time", "ts", "format",
+            nullsafe(ts, format_predicate(ts, "date-time", df.schema["ts"].dataType)),
+        ),
+    ]
+    return violation_examples(df, cons, keep_cols=["event_id"], k=3)
+
+
+SQL_EVENTS_VIOLATION_EXAMPLES = """
+WITH ex AS (
+  SELECT event_id, 'enum:event_type' AS "constraint"
+  FROM events
+  WHERE event_type IS NOT NULL
+    AND event_type NOT IN ('click', 'view', 'signup')
+  UNION ALL
+  SELECT event_id, 'range:value' AS "constraint"
+  FROM events
+  WHERE value IS NOT NULL AND NOT (value BETWEEN 0 AND 100)
+)
+SELECT event_id, "constraint", CAST(example_rank AS INT) AS example_rank
+FROM (
+  SELECT event_id, "constraint",
+         row_number() OVER (PARTITION BY "constraint" ORDER BY event_id)
+           AS example_rank
+  FROM ex)
+WHERE example_rank <= 3
+"""
+
+
 def q_events_type_psi(spark, sf_dir):
     """Population Stability Index of event_type between the user_id%2
     halves (operators/drift.psi_categorical): per-category (pa-pb)*ln(pa/pb)
@@ -1607,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_drift": q_events_type_drift,
         "events_type_psi": q_events_type_psi,
         "events_value_psi": q_events_value_psi,
+        "events_violation_examples": q_events_violation_examples,
         "events_value_ks": q_events_value_ks,
         "events_value_ks_hist": q_events_value_ks_hist,
         # relational coverage
@@ -1668,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_drift": SQL_EVENTS_TYPE_DRIFT,
         "events_type_psi": SQL_EVENTS_TYPE_PSI,
         "events_value_psi": SQL_EVENTS_VALUE_PSI,
+        "events_violation_examples": SQL_EVENTS_VIOLATION_EXAMPLES,
         "events_value_ks": SQL_EVENTS_VALUE_KS,
         "events_value_ks_hist": SQL_EVENTS_VALUE_KS_HIST,
         "q1_pricing_summary": SQL_Q1,

@@ -195,6 +195,36 @@ def violations(df: DataFrame, constraints: list, keep_cols: list | None = None) 
     return out.filter(F.size("violations") > 0)
 
 
+def violation_examples(
+    df: DataFrame,
+    constraints: list,
+    keep_cols: list,
+    k: int = 5,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Up to ``k`` deterministic example rows per violated constraint —
+    the triage view next to ``violation_counts``'s totals: (keep_cols...,
+    constraint, example_rank), ordered by ``order_cols`` (default
+    keep_cols) so reruns and engines agree on WHICH rows are the examples.
+
+    Scale shape: the window runs over VIOLATING rows only (for healthy
+    data a sliver of the table) partitioned by constraint. A constraint
+    violated by most of a 100 TB table makes its partition huge — Spark's
+    window sorts with spill so it completes, but if that is the live
+    regime, pre-filter (e.g. sample the input) or just read
+    violation_counts: at that point the count IS the story, not k rows."""
+    v = violations(df, constraints, keep_cols=keep_cols)
+    ex = v.select(*keep_cols, F.explode("violations").alias("constraint"))
+    from pyspark.sql import Window
+
+    order = order_cols or keep_cols
+    w = Window.partitionBy("constraint").orderBy(*order)
+    return (
+        ex.withColumn("example_rank", F.row_number().over(w))
+        .filter(F.col("example_rank") <= k)
+    )
+
+
 def violation_counts(df: DataFrame, constraints: list) -> DataFrame:
     """Per-constraint violation counts in ONE aggregation pass (no explode):
     count(when(not pred)) per constraint, unpivoted to (constraint, n)."""

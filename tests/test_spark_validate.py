@@ -205,3 +205,34 @@ def test_referential_violations_plan_broadcasts(spark):
     parent = spark.range(0, 500).withColumnRenamed("id", "pk")
     plan = V.referential_violations(child, parent, "fk", "pk")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_violation_examples_bounded_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "bad" if i % 2 else "ok", float(i)) for i in range(20)],
+        "id long, status string, v double",
+    )
+    nullsafe = lambda c, p: c.isNull() | p  # noqa: E731
+    cons = [
+        V.Constraint("enum:status", "status", "enum",
+                     nullsafe(F.col("status"), F.col("status") == "ok")),
+        V.Constraint("range:v", "v", "range",
+                     nullsafe(F.col("v"), F.col("v") < 15)),
+        V.Constraint("never:fails", "id", "range",
+                     nullsafe(F.col("id"), F.lit(True))),
+    ]
+    rows = V.violation_examples(df, cons, keep_cols=["id"], k=3).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.constraint, []).append((r.example_rank, r.id))
+    # bounded at 3, deterministic order by id, ranks dense from 1
+    assert sorted(by["enum:status"]) == [(1, 1), (2, 3), (3, 5)]
+    assert sorted(by["range:v"]) == [(1, 15), (2, 16), (3, 17)]
+    assert "never:fails" not in by
+    # rerun identical (pure function of the data)
+    again = V.violation_examples(df, cons, keep_cols=["id"], k=3).collect()
+    assert {(r.constraint, r.example_rank, r.id) for r in again} == {
+        (r.constraint, r.example_rank, r.id) for r in rows
+    }
