@@ -208,11 +208,12 @@ def violation_examples(
     keep_cols) so reruns and engines agree on WHICH rows are the examples.
 
     Scale shape: the window runs over VIOLATING rows only (for healthy
-    data a sliver of the table) partitioned by constraint. A constraint
-    violated by most of a 100 TB table makes its partition huge — Spark's
-    window sorts with spill so it completes, but if that is the live
-    regime, pre-filter (e.g. sample the input) or just read
-    violation_counts: at that point the count IS the story, not k rows."""
+    data a sliver of the table) partitioned by constraint — and Spark 4's
+    WindowGroupLimit rewrite inserts a PARTIAL per-partition top-k below
+    the exchange (plan-asserted in tests/test_plans.py), so the shuffle
+    carries at most k rows per (constraint, input partition) even when a
+    constraint fails everywhere. Always-true predicates constant-fold out
+    of the plan entirely."""
     v = violations(df, constraints, keep_cols=keep_cols)
     ex = v.select(*keep_cols, F.explode("violations").alias("constraint"))
     from pyspark.sql import Window

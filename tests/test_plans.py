@@ -50,3 +50,44 @@ def test_broadcast_dims_region_revenue(spark):
 def test_anti_join_strategy(spark):
     p = _plan(spark, "unreferenced_parts")
     assert "LeftAnti" in p
+
+
+def test_psi_plan_partial_agg_and_broadcast_totals(spark):
+    # one (key, count) exchange with map-side combine; totals broadcast back
+    p = _plan(spark, "events_type_psi")
+    assert "HashAggregate" in p and "partial_sum" in p.lower() or "partial" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # value-PSI bucket form: same skeleton, no sort anywhere (PSI is a sum)
+    p2 = _plan(spark, "events_value_psi")
+    assert "BroadcastExchange" in p2
+    assert "Sort" not in p2.split("BroadcastExchange")[0]
+
+
+def test_violation_examples_window_over_filtered_rows(spark):
+    p = _plan(spark, "events_violation_examples")
+    # Spark 4 inserts WindowGroupLimit: a PARTIAL per-partition top-k runs
+    # BEFORE the exchange, so the shuffle carries at most k rows per
+    # (constraint, input-partition) — the bounded 100 TB shape for free
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert p.index("Partial") > p.index("Exchange") or "Partial" in p.split("Exchange")[1]
+    # the violating-rows filter sits below the window (children print
+    # deeper): a clean table shuffles ~nothing
+    assert p.index("size(") > p.index("Window")
+    # the always-true format:ts constraint is constant-folded away and the
+    # scan is pruned to the three referenced columns
+    assert "format:ts" not in p
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in p
+
+
+def test_repetition_plan_no_exchange(spark):
+    # zero-shuffle quality scan: a projection pipeline, no Exchange at all
+    p = _plan(spark, "docs_repetition")
+    assert "Exchange" not in p
+    assert "Scan parquet" in p or "FileScan" in p
+
+
+def test_decontaminate_plan_broadcast_probe(spark):
+    p = _plan(spark, "docs_decontaminate")
+    assert "BroadcastHashJoin" in p
+    # the per-doc matched-shingle count is map-side combined
+    assert "partial_count" in p.lower() or "HashAggregate" in p
