@@ -954,6 +954,57 @@ GROUP BY corp.doc_id
 """
 
 
+def q_docs_split_profile(spark, sf_dir):
+    """Deterministic hash split (sampling.hash_split): 0.8/0.1/0.1
+    train/validation/test assignment by md5 of doc_id — reproducible
+    across runs, cluster layouts and engines (the oracle recomputes the
+    exact assignment in DuckDB). Zero-shuffle projection; profiled here
+    as per-split counts."""
+    from jsonschema_infer_spark.operators.sampling import hash_split
+
+    df = _load(spark, sf_dir, "documents")
+    return (
+        hash_split(df, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_DOCS_SPLIT_PROFILE = """
+WITH u AS (
+  SELECT CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':split')), 1, 13))
+              AS BIGINT) / 4503599627370496.0 AS u
+  FROM documents)
+SELECT CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'validation'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM u GROUP BY 1
+"""
+
+
+def q_events_type_cap(spark, sf_dir):
+    """Stratified cap (sampling.stratified_cap): at most 3 events per
+    event_type, deterministically the lowest event_ids — the 'cap each
+    domain at N documents' balance pass. Plans as WindowGroupLimit:
+    at most k rows shuffle per (strata, input partition)."""
+    from jsonschema_infer_spark.operators.sampling import stratified_cap
+
+    df = _load(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_cap(df, ["event_type"], 3, ["event_id"])
+
+
+SQL_EVENTS_TYPE_CAP = """
+SELECT event_id, event_type, CAST(strata_rank AS INT) AS strata_rank
+FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+           AS strata_rank
+  FROM events)
+WHERE strata_rank <= 3
+"""
+
+
 def q_docs_langid(spark, sf_dir):
     from jsonschema_infer_spark.operators.text import lang_id
 
@@ -1681,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
+        "docs_split_profile": q_docs_split_profile,
+        "events_type_cap": q_events_type_cap,
         "docs_langid": q_docs_langid,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_pii_scan": q_docs_pii_scan,
@@ -1741,6 +1794,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": SQL_DOCS_QUALITY,
         "docs_repetition": SQL_DOCS_REPETITION,
         "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
+        "docs_split_profile": SQL_DOCS_SPLIT_PROFILE,
+        "events_type_cap": SQL_EVENTS_TYPE_CAP,
         "docs_langid": SQL_DOCS_LANGID,
         "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
         "docs_pii_scan": SQL_DOCS_PII_SCAN,
