@@ -38,8 +38,11 @@ BENCH_QUERIES = [
     "events_value_ks",
     "events_value_ks_hist",
     "events_orphan_users",
+    "events_violation_examples",
+    "events_type_cap",
     "docs_repetition",
     "docs_decontaminate",
+    "docs_split_profile",
     "embeddings_topk",
     "embeddings_cos_pairs",
     "minhash_dups_docs",
