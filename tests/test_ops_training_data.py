@@ -377,7 +377,11 @@ def _py_repetition(text):
         return [g for g in out if len(g.split(" ")) == n]
 
     def frac(num, den):
-        return round(num / den, 4) if den > 0 else 0.0
+        # Spark round() is HALF_UP, not Python's banker's rounding —
+        # hypothesis found the 1/32 = 0.03125 boundary
+        from jsonschema_infer_spark.operators.text import _round4_half_up
+
+        return _round4_half_up(num / den) if den > 0 else 0.0
 
     chars_all = sum(len(l) for l in lines)
     chars_d = sum(len(l) for l in dlines)
@@ -438,3 +442,28 @@ def test_psi_column_form_matches_driver_function(spark):
         total = sum(r.psi_term for r in psi_categorical(a, b, "cat").collect())
         # Column form rounds per-term to 6dp; allow that much slack per key
         assert abs(total - psi_fn(ca, cb)) < 1e-5 * (len(cats) + 1), (ca, cb)
+
+
+def test_repetition_pandas_impl_equals_expr(spark):
+    from jsonschema_infer_spark.operators.text import repetition_features
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    cols = ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "dup_2gram_frac", "dup_3gram_frac", "repetitive"]
+    a = {r.doc_id: tuple(r[c] for c in cols[1:])
+         for r in repetition_features(df, "text", keep=["doc_id"]).collect()}
+    b = {r.doc_id: tuple(r[c] for c in cols[1:])
+         for r in repetition_features(
+             df, "text", keep=["doc_id"], impl="pandas").collect()}
+    assert a == b
+    # hostile inputs: nulls, empties, blank lines
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, " \n\n "), (4, "a b a b a b\na b a b a b")],
+        "doc_id long, text string",
+    )
+    ea = {r.doc_id: tuple(r[c] for c in cols[1:])
+          for r in repetition_features(edge, "text", keep=["doc_id"]).collect()}
+    eb = {r.doc_id: tuple(r[c] for c in cols[1:])
+          for r in repetition_features(
+              edge, "text", keep=["doc_id"], impl="pandas").collect()}
+    assert ea == eb

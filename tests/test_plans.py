@@ -80,10 +80,21 @@ def test_violation_examples_window_over_filtered_rows(spark):
 
 
 def test_repetition_plan_no_exchange(spark):
-    # zero-shuffle quality scan: a projection pipeline, no Exchange at all
+    # both impls are zero-shuffle: the driver query's mapInPandas form is
+    # scan -> ArrowEvalPython-style map, the expr form a projection
+    # pipeline — no Exchange in either
     p = _plan(spark, "docs_repetition")
-    assert "Exchange" not in p
-    assert "Scan parquet" in p or "FileScan" in p
+    assert "Exchange" not in p and "MapInPandas" in p
+
+    from jsonschema_infer_spark.operators.text import repetition_features
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    pe = (
+        repetition_features(df, "text", keep=["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in pe
+    assert "Scan parquet" in pe or "FileScan" in pe
 
 
 def test_decontaminate_plan_broadcast_probe(spark):
