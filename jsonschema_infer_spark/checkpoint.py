@@ -186,3 +186,151 @@ def infer_with_checkpoint(
     }
     _atomic_write(mpath, json.dumps(manifest, indent=2))
     return result, manifest
+
+
+def fused_with_checkpoint(
+    spark,
+    path: str,
+    checkpoint_dir: str,
+    config: InferConfig | None = None,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    rg_per_task: int = 4,
+    distinct_strategy: str = "auto",
+    _skip_tasks=None,  # test hook: simulate tasks that never finish
+):
+    """Checkpointed, resumable form of the FUSED benchmark pipeline
+    (``operators.pipeline.infer_and_integrity_parquet``): each (file,
+    row-group-range) task writes its integrity partial parquet and then —
+    last, as the completion marker — its inference state JSON with
+    lineage (file, row-group range, rows, seconds, attempt). A resumed
+    run skips tasks whose marker exists WITHOUT re-reading their bytes;
+    the driver merges whatever states exist and reduces the spilled
+    integrity partials, so a partial manifest is still a valid partial
+    result (associative merges on both sides).
+
+    Returns (InferResult | None, integrity dict | None, manifest) —
+    the results are None only when no task has completed yet."""
+    import pyarrow.parquet as pq
+
+    from .operators.infer_spark import _list_rg_tasks, list_parquet_files
+    from .operators.pipeline import _fused_task
+    from .operators.validate import reduce_spilled_partials
+
+    config = config or default_config()
+    if config.max_samples > 0:
+        raise ValueError(
+            "max_samples is unsupported on the fused path (integrity must "
+            "see every row); see infer_and_integrity_parquet"
+        )
+    if config.examples:
+        raise NotImplementedError(
+            "examples capture is not wired into the checkpointed fused "
+            "path; use infer_with_checkpoint(order_cols=...) or the "
+            "direct pipeline"
+        )
+    files = list_parquet_files(path)
+    tasks = _list_rg_tasks(files, rg_per_task)
+    fp = config_fingerprint(config, f"fused:{conv_col}:{idx_col}:{rg_per_task}", None)
+
+    states_dir = os.path.join(checkpoint_dir, STATES)
+    spill_dir = os.path.join(checkpoint_dir, "integrity")
+    os.makedirs(states_dir, exist_ok=True)
+    os.makedirs(spill_dir, exist_ok=True)
+
+    mpath = os.path.join(checkpoint_dir, MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+        if prev["config_fingerprint"] != fp or prev["input_files"] != sorted(files):
+            raise ValueError(
+                "checkpoint manifest does not match this input/config; "
+                "use a fresh checkpoint_dir"
+            )
+
+    skip = set(_skip_tasks or ())
+    ckpt = checkpoint_dir
+
+    def run(item):
+        from pyspark import TaskContext
+
+        i, (f, lo, hi) = item
+        spath = _state_path(ckpt, i)
+        if os.path.exists(spath) or i in skip:
+            return None
+        t0 = time.time()
+        st, rows = _fused_task(
+            f, lo, hi, config, conv_col, idx_col, spill_dir, i
+        )
+        ctx = TaskContext.get()
+        _atomic_write(
+            spath,
+            json.dumps(
+                {
+                    "pid": i,
+                    "file": f,
+                    "row_groups": [lo, hi],
+                    "rows": rows,
+                    "secs": time.time() - t0,
+                    "attempt": ctx.attemptNumber() if ctx is not None else 0,
+                    "state": S.state_to_jsonable(st),
+                }
+            ),
+        )
+        return i
+
+    t0 = time.time()
+    spark.sparkContext.parallelize(
+        list(enumerate(tasks)), max(len(tasks), 1)
+    ).map(run).collect()
+
+    states, partitions, lineage = [], [], []
+    for fn in sorted(os.listdir(states_dir)):
+        with open(os.path.join(states_dir, fn)) as f:
+            rec = json.load(f)
+        states.append(S.state_from_jsonable(rec["state"]))
+        partitions.append((rec["pid"], rec["rows"], rec["secs"]))
+        lineage.append(
+            {
+                "pid": rec["pid"],
+                "file": rec["file"],
+                "row_groups": rec["row_groups"],
+                "rows": rec["rows"],
+                "secs": round(rec["secs"], 4),
+                "attempt": rec.get("attempt", 0),
+            }
+        )
+
+    result = integ = None
+    if states:
+        merged = merge_states(states)
+        schema = S.finalize(merged, config)
+        result = InferResult(
+            state=merged,
+            config=config,
+            schema=schema,
+            schema_json=render_schema(schema, config.indent),
+            total_rows=sum(p[1] for p in partitions),
+            partitions=partitions,
+            wall_secs=time.time() - t0,
+        )
+        integ = reduce_spilled_partials(spark, spill_dir, distinct_strategy)
+
+    manifest = {
+        "config_fingerprint": fp,
+        "mode": "fused",
+        "input_files": sorted(files),
+        "num_tasks": len(tasks),
+        "completed_tasks": sorted(p[0] for p in partitions),
+        "complete": len(partitions) >= len(tasks),
+        "total_rows": result.total_rows if result else 0,
+        "per_task": lineage,
+        "integrity": integ,
+        "schema_sha256": (
+            hashlib.sha256(result.schema_json.encode()).hexdigest()
+            if result
+            else None
+        ),
+    }
+    _atomic_write(mpath, json.dumps(manifest, indent=2))
+    return result, integ, manifest

@@ -52,6 +52,58 @@ from .validate import _integrity_fold, reduce_spilled_partials
 from ..plans.render import render_schema
 
 
+def _fused_task(
+    f: str,
+    lo: int,
+    hi: int,
+    config: InferConfig,
+    conv_col: str,
+    idx_col: str,
+    out_dir: str,
+    i: int,
+    order_cols: list | None = None,
+) -> tuple:
+    """One fused task: fold row-groups [lo, hi) of ``f`` through the
+    inference observer while teeing (conv, turn) into the integrity
+    pre-aggregation; integrity partials land in ``out_dir/part-<i>`` (a
+    task retry overwrites the same file — idempotent). Returns
+    (state, rows). Shared by the direct and checkpointed pipelines."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    integrity_fold = _integrity_fold(conv_col, idx_col)
+    pf = pq.ParquetFile(f)
+    # batch_size matches infer_parquet so the inference fold sees the
+    # exact same batch boundaries (value-identical partials)
+    batches = pf.iter_batches(batch_size=10_000, row_groups=list(range(lo, hi)))
+    kept: list = []
+    ns = pf.schema_arrow.names
+    idxs = (ns.index(conv_col), ns.index(idx_col))
+
+    def tee(bs):
+        for b in bs:
+            cols = []
+            for j in idxs:
+                a = b.column(j)
+                if pa.types.is_dictionary(a.type):
+                    a = a.cast(a.type.value_type)
+                cols.append(a)
+            kept.append(
+                pa.RecordBatch.from_arrays(cols, names=[conv_col, idx_col])
+            )
+            yield b
+
+    st, rows = fold_batches_columnar(tee(batches), config, order_cols)
+    out = list(integrity_fold(iter(kept)))
+    if out:
+        pq.write_table(
+            pa.Table.from_batches(out),
+            os.path.join(out_dir, f"part-{i:05d}.parquet"),
+        )
+    return st, rows
+
+
 def infer_and_integrity_parquet(
     spark,
     path: str,
@@ -91,45 +143,14 @@ def infer_and_integrity_parquet(
 
     t0 = time.time()
     tasks = _list_rg_tasks(list_parquet_files(path), rg_per_task)
-    integrity_fold = _integrity_fold(conv_col, idx_col)
     out_dir = spill_dir or tempfile.mkdtemp(prefix="jis_pipeline_")
     os.makedirs(out_dir, exist_ok=True)
 
     def run(item):
-        import pyarrow.parquet as pq
-
         i, (f, lo, hi) = item
-        pf = pq.ParquetFile(f)
-        # batch_size matches infer_parquet so the inference fold sees the
-        # exact same batch boundaries (value-identical partials)
-        batches = pf.iter_batches(
-            batch_size=10_000, row_groups=list(range(lo, hi))
+        return _fused_task(
+            f, lo, hi, config, conv_col, idx_col, out_dir, i, order_cols
         )
-        kept: list = []
-        ns = pf.schema_arrow.names
-        idxs = (ns.index(conv_col), ns.index(idx_col))
-
-        def tee(bs):
-            for b in bs:
-                cols = []
-                for j in idxs:
-                    a = b.column(j)
-                    if pa.types.is_dictionary(a.type):
-                        a = a.cast(a.type.value_type)
-                    cols.append(a)
-                kept.append(
-                    pa.RecordBatch.from_arrays(cols, names=[conv_col, idx_col])
-                )
-                yield b
-
-        st, rows = fold_batches_columnar(tee(batches), config, order_cols)
-        out = list(integrity_fold(iter(kept)))
-        if out:
-            pq.write_table(
-                pa.Table.from_batches(out),
-                os.path.join(out_dir, f"part-{i:05d}.parquet"),
-            )
-        return st, rows
 
     try:
         rdd = spark.sparkContext.parallelize(

@@ -72,3 +72,48 @@ def test_fused_rejects_max_samples(spark, tx_paths):
         infer_and_integrity_parquet(
             spark, tx_paths["viol"], config=default_config(max_samples=10)
         )
+
+
+def test_fused_checkpoint_resume_and_lineage(spark, tx_paths, tmp_path):
+    from jsonschema_infer_spark.checkpoint import fused_with_checkpoint
+    from jsonschema_infer_spark.operators.pipeline import (
+        infer_and_integrity_parquet,
+    )
+
+    import pyarrow.parquet as pq
+
+    # re-materialize with small row groups so there are MANY fused tasks
+    src = pq.read_table(tx_paths["viol"])
+    path = str(tmp_path / "viol_multi_rg.parquet")
+    pq.write_table(src, path, row_group_size=max(src.num_rows // 6, 1))
+    ckpt = str(tmp_path / "fused_ckpt")
+
+    # first run: tasks 0 and 1 "never finish"
+    res1, integ1, man1 = fused_with_checkpoint(
+        spark, path, ckpt, rg_per_task=1, _skip_tasks=[0, 1]
+    )
+    assert not man1["complete"]
+    assert 0 not in man1["completed_tasks"] and 1 not in man1["completed_tasks"]
+    # a partial manifest is still a valid partial result
+    assert res1 is not None and res1.total_rows < spark.read.parquet(path).count()
+
+    # resume: only the missing tasks fold; manifest completes
+    res2, integ2, man2 = fused_with_checkpoint(spark, path, ckpt, rg_per_task=1)
+    assert man2["complete"]
+    assert res2.total_rows == spark.read.parquet(path).count()
+    # lineage carries (file, row-group range, rows, secs) per task
+    assert all(
+        rec["file"] and rec["rows"] > 0 and len(rec["row_groups"]) == 2
+        for rec in man2["per_task"]
+    )
+
+    # equals the unchecked pipeline on both outputs
+    res_d, integ_d = infer_and_integrity_parquet(spark, path, rg_per_task=1)
+    assert res2.schema_json == res_d.schema_json
+    assert integ2 == integ_d
+
+    # config/input mismatch is refused
+    import pytest
+
+    with pytest.raises(ValueError):
+        fused_with_checkpoint(spark, path, ckpt, rg_per_task=2)
