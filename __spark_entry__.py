@@ -928,13 +928,15 @@ def q_docs_decontaminate(spark, sf_dir):
     """Test-set decontamination (dedup.contamination_hits): corpus docs
     (doc_id % 50 != 0) sharing word 3-grams with a benchmark subset
     (doc_id % 50 == 0). Benchmark collapses to a distinct shingle set and
-    broadcasts; the only shuffle is the per-doc matched-shingle count."""
+    broadcasts; the only shuffle is the per-doc matched-shingle count.
+    Runs the Arrow-batched shingler (equality-tested vs the Column form;
+    both match this oracle)."""
     from jsonschema_infer_spark.operators.dedup import contamination_hits
 
     docs = _load(spark, sf_dir, "documents")
     bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
     corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
-    return contamination_hits(corpus, bench, "text", "doc_id", n=3)
+    return contamination_hits(corpus, bench, "text", "doc_id", n=3, impl="pandas")
 
 
 SQL_DOCS_DECONTAMINATE = """

@@ -467,3 +467,27 @@ def test_repetition_pandas_impl_equals_expr(spark):
           for r in repetition_features(
               edge, "text", keep=["doc_id"], impl="pandas").collect()}
     assert ea == eb
+
+
+def test_contamination_pandas_impl_equals_expr(spark):
+    from jsonschema_infer_spark.operators.dedup import contamination_hits
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.filter("doc_id % 50 = 0")
+    corpus = docs.filter("doc_id % 50 <> 0")
+    a = {r.doc_id: r.matched_shingles
+         for r in contamination_hits(corpus, bench, n=3).collect()}
+    b = {r.doc_id: r.matched_shingles
+         for r in contamination_hits(corpus, bench, n=3, impl="pandas").collect()}
+    assert a == b and len(a) > 0
+    # hostile: nulls and empties on both sides
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d"), (4, "x y")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    ea = {r.doc_id: r.matched_shingles
+          for r in contamination_hits(edge, ref, n=3).collect()}
+    eb = {r.doc_id: r.matched_shingles
+          for r in contamination_hits(edge, ref, n=3, impl="pandas").collect()}
+    assert ea == eb == {3: 1}
