@@ -1750,20 +1750,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_cos_pairs": q_embeddings_cos_pairs,
         "embeddings_ivf_exact": q_embeddings_ivf_exact,
         "embeddings_label_profile": q_embeddings_label_profile,
-        # rows-only (no oracle)
-        "infer_events_schema": q_infer_events_schema,
-        "infer_props_json_schema": q_infer_props_json_schema,
-        "transcript_verdicts": q_transcript_verdicts,
+        # oracled (md5-mode / cross-table / media): every entry below with
+        # an oracle_sql() twin is driver-compared like the rest
         "events_orphan_users": q_events_orphan_users,
-        "events_schema_drift": q_events_schema_drift,
-        "embeddings_lsh_pairs": q_embeddings_lsh_pairs,
         "embeddings_lsh_md5": q_embeddings_lsh_md5,
-        "embeddings_ivf_topk": q_embeddings_ivf_topk,
-        "minhash_dups_docs": q_minhash_dups_docs,
-        "simhash_near_docs": q_simhash_near_docs,
         "minhash_dups_md5": q_minhash_dups_md5,
         "simhash_near_md5": q_simhash_near_md5,
         "media_features": q_media_features,
+        # rows-only (genuinely no SQL equivalent: type-lattice fold,
+        # xxhash64/Gaussian fast paths, approximate-by-construction IVF)
+        "infer_events_schema": q_infer_events_schema,
+        "infer_props_json_schema": q_infer_props_json_schema,
+        "transcript_verdicts": q_transcript_verdicts,
+        "events_schema_drift": q_events_schema_drift,
+        "embeddings_lsh_pairs": q_embeddings_lsh_pairs,
+        "embeddings_ivf_topk": q_embeddings_ivf_topk,
+        "minhash_dups_docs": q_minhash_dups_docs,
+        "simhash_near_docs": q_simhash_near_docs,
     }
 
 

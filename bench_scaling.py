@@ -365,7 +365,11 @@ def main():
         lines.append(
             f"| {i} | {r['tp1']:,} | {r['tp4']:,} | {r['eff']} | {flag} |"
         )
-    claim_eff = max(best_pair[2], paired["best_eff"] or 0.0)
+    # claim strictly about the 1 -> 4 pair: the best-of-level 1->4 ratio or
+    # the best healthy paired round — never another pair's ratio, which
+    # would mislabel the evidence
+    level_1_4 = next(e for a, b, e, _ in pair_rows if (a, b) == (pn, pm))
+    claim_eff = max(level_1_4, paired["best_eff"] or 0.0)
     n_valid = sum(1 for r in rounds if r["healthy_base"])
     lines += [
         "",

@@ -149,9 +149,14 @@ def infer_with_checkpoint(
         r.pid for r in df.mapInArrow(fold, "pid long").collect()
     ]
 
-    # driver: read every completed state from the manifest dir
+    # driver: read every completed state from the manifest dir. Only
+    # exact "state_*.json" names count — a writer killed between the tmp
+    # write and os.replace leaves "state_*.json.tmp.<pid>" behind, which
+    # must not be merged (double-count) nor crash the resume (truncated)
     states, partitions = [], []
     for fn in sorted(os.listdir(os.path.join(ckpt, STATES))):
+        if not (fn.startswith("state_") and fn.endswith(".json")):
+            continue
         with open(os.path.join(ckpt, STATES, fn)) as f:
             rec = json.load(f)
         states.append(S.state_from_jsonable(rec["state"]))
@@ -286,6 +291,8 @@ def fused_with_checkpoint(
 
     states, partitions, lineage = [], [], []
     for fn in sorted(os.listdir(states_dir)):
+        if not (fn.startswith("state_") and fn.endswith(".json")):
+            continue  # orphaned "*.json.tmp.<pid>" from a killed writer
         with open(os.path.join(states_dir, fn)) as f:
             rec = json.load(f)
         states.append(S.state_from_jsonable(rec["state"]))

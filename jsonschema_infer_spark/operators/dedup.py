@@ -223,7 +223,10 @@ def _exploded_word_shingles_pandas(
                 t = pdf[text_col].iloc[idx]
                 if t is None:
                     continue
-                toks = re.sub(r"\s+", " ", str(t).lower()).strip().split(" ")
+                # ASCII \s + space-only strip = exact JVM/DuckDB semantics
+                toks = re.sub(
+                    r"\s+", " ", str(t).lower(), flags=re.ASCII
+                ).strip(" ").split(" ")
                 grams = {
                     " ".join(toks[i : i + n])
                     for i in range(max(len(toks) - n, 0) + 1)

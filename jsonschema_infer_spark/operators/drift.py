@@ -197,6 +197,11 @@ def psi_numeric(
             .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
             .collect()[0]
         )
+        if bounds.lo is None:  # both sides all-NULL/empty: nothing to drift
+            spark = df_a.sparkSession
+            return spark.createDataFrame(
+                [], "bucket long, n_a bigint, n_b bigint, psi_term double"
+            )
         lo = float(bounds.lo) if lo is None else lo
         hi = float(bounds.hi) if hi is None else hi
     width = (hi - lo) / bins if hi > lo else 1.0

@@ -196,7 +196,14 @@ def _pyify_example(v):
     from decimal import Decimal as _Dec
 
     if isinstance(v, _dt.datetime):
-        us = int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        # tz-aware values convert to the UTC instant (replace() would
+        # reinterpret the wall clock); round() because timestamp()*1e6
+        # can land 1 ulp below the integral microsecond count
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
+        else:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        us = round(v.timestamp() * 1_000_000)
         return _render_ts_us(us)
     if isinstance(v, _dt.date):
         return str(v)

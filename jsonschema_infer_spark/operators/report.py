@@ -102,12 +102,17 @@ def run_validation_report(
         metrics["schema_drift_changes"] = len(records)
     if fk_checks:
         ref_counts = {}
-        for parent_df, child_key, parent_key in fk_checks:
+        for idx, (parent_df, child_key, parent_key) in enumerate(fk_checks):
+            # two checks on the same child column (different parents) must
+            # not overwrite each other's sink or metrics entry
+            label = child_key if child_key not in ref_counts else (
+                f"{child_key}#{idx}"
+            )
             orphans = V.referential_violations(
                 df, parent_df, child_key, parent_key
             )
             orphans.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"referential_{child_key}.parquet")
+                os.path.join(out_dir, f"referential_{label}.parquet")
             )
             from pyspark.sql import functions as F
 
@@ -116,7 +121,7 @@ def run_validation_report(
             agg = orphans.agg(
                 F.sum("orphan_rows").alias("r"), F.count(F.lit(1)).alias("k")
             ).collect()[0]
-            ref_counts[child_key] = {
+            ref_counts[label] = {
                 "orphan_rows": int(agg.r or 0),
                 "orphan_keys": int(agg.k or 0),
             }

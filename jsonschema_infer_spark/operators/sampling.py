@@ -59,12 +59,17 @@ def hash_split(
         fractions = {"train": 0.8, "validation": 0.1, "test": 0.1}
     if not fractions:
         raise ValueError("fractions must name at least one split")
+    import math
+
     u = _unit_hash(F.col(key_col), salt)
     names = list(fractions)
     expr = None
-    acc = 0.0
-    for name in names[:-1]:
-        acc += fractions[name]
+    for i, name in enumerate(names[:-1]):
+        # correctly-rounded prefix sum (fsum), not float accumulation:
+        # 0.8 + 0.1 accumulates to 0.9000000000000001 while an external
+        # engine's literal 0.9 is 0.9000000000000000222 — a boundary key
+        # would split differently across engines
+        acc = math.fsum(fractions[n] for n in names[: i + 1])
         cond = u < F.lit(acc)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)

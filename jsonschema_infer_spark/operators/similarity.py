@@ -94,9 +94,10 @@ def cosine_topk(
             sims = np.round((A @ q) / (np.linalg.norm(A, axis=1) * qnorm), 4)
             yield pd.DataFrame({id_col: pdf[id_col], "cos_sim": sims})
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return (
         df.select(id_col, vec_col)
-        .mapInPandas(block, f"{id_col} long, cos_sim double")
+        .mapInPandas(block, f"`{id_col}` {id_type}, cos_sim double")
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
@@ -355,9 +356,10 @@ def ivf_topk(
                 {id_col: pdf[id_col].to_numpy()[m], "cos_sim": sims}
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return (
         df.select(id_col, vec_col)
-        .mapInPandas(block, f"{id_col} long, cos_sim double")
+        .mapInPandas(block, f"`{id_col}` {id_type}, cos_sim double")
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )

@@ -106,9 +106,12 @@ def _py_repetition_row(text: str) -> tuple:
     semantics (shared by the mapInPandas impl; equality-tested)."""
     import re
 
-    lines = [l for l in (s.strip() for s in text.split("\n")) if l]
+    # exact JVM/DuckDB semantics: F.trim strips U+0020 ONLY (not tabs or
+    # unicode whitespace), and Java/RE2 \s is ASCII — Python needs
+    # strip(" ") and re.ASCII or the twins diverge on "a\n\ta"
+    lines = [l for l in (s.strip(" ") for s in text.split("\n")) if l]
     dlines = list(dict.fromkeys(lines))
-    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    toks = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip(" ").split(" ")
 
     def dup_frac_grams(n):
         grams = [

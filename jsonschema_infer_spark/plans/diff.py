@@ -49,6 +49,20 @@ def schema_diff(a: dict | None, b: dict | None, path: str = "$") -> list[dict]:
     tests, oracles and report sinks. ``example`` is ignored: it is
     first-sample provenance, not shape."""
     out: list[dict] = []
+    # draft-06/07 allows non-object sub-schemas: boolean schemas (true /
+    # false) and list-valued "items" (tuple validation). Those have no
+    # keyword structure to recurse into — compare them wholesale.
+    if not isinstance(a, (dict, type(None))) or not isinstance(b, (dict, type(None))):
+        if _fmt(a) != _fmt(b):
+            return [
+                {
+                    "path": path,
+                    "change": "schema_changed",
+                    "before": _fmt(a),
+                    "after": _fmt(b),
+                }
+            ]
+        return []
     a, b = a or {}, b or {}
 
     ta, tb = _norm_type(a.get("type")), _norm_type(b.get("type"))
@@ -94,13 +108,14 @@ def schema_diff(a: dict | None, b: dict | None, path: str = "$") -> list[dict]:
         )
 
     props_a, props_b = a.get("properties", {}), b.get("properties", {})
+    _type_of = lambda p: p.get("type") if isinstance(p, dict) else p  # noqa: E731
     for name in props_b.keys() - props_a.keys():
         out.append(
             {
                 "path": f"{path}.{name}",
                 "change": "property_added",
                 "before": None,
-                "after": _fmt(props_b[name].get("type")),
+                "after": _fmt(_type_of(props_b[name])),
             }
         )
     for name in props_a.keys() - props_b.keys():
@@ -108,7 +123,7 @@ def schema_diff(a: dict | None, b: dict | None, path: str = "$") -> list[dict]:
             {
                 "path": f"{path}.{name}",
                 "change": "property_removed",
-                "before": _fmt(props_a[name].get("type")),
+                "before": _fmt(_type_of(props_a[name])),
                 "after": None,
             }
         )

@@ -367,10 +367,10 @@ def _py_repetition(text):
     """Pure-Python reference implementation of repetition_features."""
     import re
 
-    lines = [l.strip() for l in text.split("\n")]
+    lines = [l.strip(" ") for l in text.split("\n")]
     lines = [l for l in lines if l]
     dlines = list(dict.fromkeys(lines))
-    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    toks = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip(" ").split(" ")
 
     def grams(n):
         out = [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)]
@@ -491,3 +491,36 @@ def test_contamination_pandas_impl_equals_expr(spark):
     eb = {r.doc_id: r.matched_shingles
           for r in contamination_hits(edge, ref, n=3, impl="pandas").collect()}
     assert ea == eb == {3: 1}
+
+
+def test_cosine_topk_string_ids(spark):
+    # the pandas impl must preserve non-bigint id types
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 8)).astype(np.float64)
+    rows = [(f"doc-{i}", [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    q = [float(x) for x in base[5]]
+    top = SIM.cosine_topk(df, q, k=2).collect()
+    assert top[0].vec_id == "doc-5"
+    expr = SIM.cosine_topk(df, q, k=2, impl="expr").collect()
+    assert [(r.vec_id, r.cos_sim) for r in top] == [
+        (r.vec_id, r.cos_sim) for r in expr
+    ]
+
+
+def test_repetition_impls_agree_on_tabs_and_unicode_ws(spark):
+    from jsonschema_infer_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a\n\ta"), (2, "x y x y"), (3, "b  b\nb  b")],
+        "doc_id long, text string",
+    )
+    cols = ["n_lines", "dup_line_frac", "dup_2gram_frac", "repetitive"]
+    a = {r.doc_id: tuple(r[c] for c in cols)
+         for r in repetition_features(df, "text", keep=["doc_id"]).collect()}
+    b = {r.doc_id: tuple(r[c] for c in cols)
+         for r in repetition_features(
+             df, "text", keep=["doc_id"], impl="pandas").collect()}
+    assert a == b
+    # "\ta" is NOT a duplicate of "a": trim strips spaces only
+    assert a[1][1] == 0.0

@@ -117,3 +117,20 @@ def test_fused_checkpoint_resume_and_lineage(spark, tx_paths, tmp_path):
 
     with pytest.raises(ValueError):
         fused_with_checkpoint(spark, path, ckpt, rg_per_task=2)
+
+
+def test_fused_checkpoint_ignores_orphan_tmp_files(spark, tx_paths, tmp_path):
+    from jsonschema_infer_spark.checkpoint import fused_with_checkpoint
+
+    path = tx_paths["viol"]
+    ckpt = str(tmp_path / "tmpfile_ckpt")
+    res1, integ1, man1 = fused_with_checkpoint(spark, path, ckpt, rg_per_task=1)
+    # simulate a writer killed between tmp write and os.replace
+    import os
+
+    states = os.path.join(ckpt, "states")
+    with open(os.path.join(states, "state_000000.json.tmp.999"), "w") as f:
+        f.write('{"truncat')  # torn write
+    res2, integ2, man2 = fused_with_checkpoint(spark, path, ckpt, rg_per_task=1)
+    assert res2.total_rows == res1.total_rows  # no double-count, no crash
+    assert integ2 == integ1

@@ -86,3 +86,17 @@ def test_empty_diff_df_has_schema(spark):
     df = schema_diff_df(spark, s, s)
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["path", "change", "before", "after"]
+
+
+def test_non_dict_subschemas_do_not_crash():
+    # draft-06/07: boolean property schemas and list-valued items
+    a = {"type": "object", "properties": {"x": True}}
+    b = {"type": "object", "properties": {"x": {"type": "string"}}}
+    recs = schema_diff(a, b)
+    assert any(r["change"] == "schema_changed" and r["path"] == "$.x" for r in recs)
+    la = {"type": "array", "items": [{"type": "string"}]}
+    lb = {"type": "array", "items": {"type": "string"}}
+    recs2 = schema_diff(la, lb)
+    assert any(r["path"] == "$[]" for r in recs2)
+    # equal non-dict sub-schemas diff empty
+    assert schema_diff(a, a) == []
