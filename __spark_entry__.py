@@ -8,10 +8,14 @@ queries()     — one entry per implemented operator family (SURVEY.md §2):
                 and training-data ops (dedup, text analysis, similarity).
 oracle_sql()  — DuckDB-runnable ANSI SQL twins with identical column names
                 and deterministic values (ints, exact decimal sums cast to
-                double, or floats rounded to 4 before compare). Entries
-                whose semantics DuckDB cannot express (inference itself,
-                LSH candidates, pandas-UDF features) are omitted -> the
-                driver records the weaker rows-only check.
+                double, or floats rounded to 4 before compare). Operators
+                DuckDB cannot compute directly (xxhash64 MinHash/SimHash,
+                Gaussian LSH, verdict bucketing) are oracled via small
+                signature/mapping parquets materialized by INDEPENDENT
+                non-Spark implementations (pure-Python XXH64, numpy) that
+                the SQL replays banding/bucketing/verification from. Only
+                the two inference folds themselves are omitted -> the
+                driver records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
@@ -64,6 +68,173 @@ def _media_path() -> str:
     from jsonschema_infer_spark.operators.multimodal import write_media_parquet
 
     return write_media_parquet(os.path.join(_CACHE, "media_256_s42.parquet"))
+
+
+# The driver compares Spark vs DuckDB at sf=0.01 (TESTDATA.md contract);
+# oracle-side signature tables for the xxhash64/Gaussian fast paths are
+# built from that dataset by INDEPENDENT implementations (pure-Python XXH64
+# in functions/xxh64.py, plain numpy for hyperplane signatures), so the
+# driver hash-compare cross-checks the JVM hashes, the shingling, the
+# banding and the exact verification end to end. tests/test_entry_oracle.py
+# mirrors the contract at sf0.001 by overriding SPARK_GRAFT_ORACLE_SF.
+
+
+def _oracle_sf() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _sf_slug() -> str:
+    return os.path.basename(_oracle_sf().rstrip("/"))
+
+
+def _minhash_xx_sigs_path(num_perm: int = 32) -> str:
+    """(id, i, mh) parquet of xxhash64 MinHash values for sf0.01 documents,
+    computed WITHOUT Spark: word-3-shingles via the shared Python twin and
+    the spec-derived XXH64 (hashInt-chained seed, exactly Spark's
+    ``xxhash64(shingle, lit(i))``). The SQL oracle replays banding +
+    exact-Jaccard verification from these rows."""
+    path = os.path.join(_CACHE, f"minhash_xx{num_perm}_{_sf_slug()}_v1.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jsonschema_infer_spark.functions.xxh64 import (
+            to_signed,
+            xxh64_bytes,
+            xxh64_int32,
+        )
+        from jsonschema_infer_spark.operators.dedup import py_word_shingles
+
+        t = pq.read_table(
+            os.path.join(_oracle_sf(), "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        ids_out, i_out, mh_out = [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            grams = py_word_shingles(text, 3)
+            if not grams:
+                continue  # minhash_lsh_pairs filters size(sh) > 0
+            bases = [xxh64_bytes(g.encode("utf-8")) for g in grams]
+            for i in range(num_perm):
+                mh = min(to_signed(xxh64_int32(i, b)) for b in bases)
+                ids_out.append(doc_id)
+                i_out.append(i)
+                mh_out.append(mh)
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids_out, pa.int64()),
+                    "i": pa.array(i_out, pa.int32()),
+                    "mh": pa.array(mh_out, pa.int64()),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def _simhash_xx_sigs_path() -> str:
+    """(id, simhash) parquet of xxhash64 SimHash signatures for sf0.01
+    documents, computed without Spark (shared Python tokenizer + the
+    spec-derived XXH64; per-bit ±1 votes over token OCCURRENCES, exactly
+    simhash_table's explode). The SQL oracle replays the 4x16-bit
+    pigeonhole bucketing + hamming verification from these rows."""
+    path = os.path.join(_CACHE, f"simhash_xx_{_sf_slug()}_v1.parquet")
+    if not os.path.exists(path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jsonschema_infer_spark.functions.xxh64 import to_signed, xxh64_bytes
+        from jsonschema_infer_spark.operators.dedup import py_word_tokens
+
+        t = pq.read_table(
+            os.path.join(_oracle_sf(), "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        cache: dict = {}
+        ids_out, sig_out = [], []
+        shifts = np.arange(64, dtype=np.uint64)
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = [tok for tok in py_word_tokens(text) if tok]
+            if not toks:
+                continue  # simhash_table's explode drops empty tokens
+            hs = np.fromiter(
+                (
+                    cache[tok]
+                    if tok in cache
+                    else cache.setdefault(tok, xxh64_bytes(tok.encode("utf-8")))
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (bits * 2 - 1).sum(axis=0)
+            sig = 0
+            for b in range(64):
+                if votes[b] >= 0:
+                    sig |= 1 << b
+            ids_out.append(doc_id)
+            sig_out.append(to_signed(sig))
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids_out, pa.int64()),
+                    "simhash": pa.array(sig_out, pa.int64()),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def _lsh_gauss_sigs_path(n_planes: int = 16, seed: int = 42) -> str:
+    """(id, sig) parquet of Gaussian random-hyperplane signatures for
+    sf0.01 embeddings, computed without Spark by the same numpy math the
+    pandas UDF runs (seeded planes, float64 projections, packed sign
+    bits). The SQL oracle replays banding + exact cosine verification."""
+    path = os.path.join(_CACHE, f"lshsig_gauss{n_planes}_s{seed}_{_sf_slug()}_v1.parquet")
+    if not os.path.exists(path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(_oracle_sf(), "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        vecs = t.column("embedding").to_pylist()
+        ids = t.column("vec_id").to_pylist()
+        m = np.asarray(vecs, dtype=np.float64)
+        planes = np.random.default_rng(seed).standard_normal((n_planes, m.shape[1]))
+        bits = (m @ planes.T) > 0
+        sig = np.zeros(len(ids), dtype=np.uint64)
+        for b in range(n_planes):
+            sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
+        os.makedirs(_CACHE, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "sig": pa.array(sig.astype(np.int64), pa.int64()),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
 
 
 # --------------------------------------------------------------------------
@@ -668,7 +839,7 @@ WITH v AS (
   WHERE user_id IS NOT NULL AND value IS NOT NULL),
 b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
 g AS (
-  SELECT least(CAST(floor((v - lo) / ((hi - lo) / 32)) AS BIGINT), 31) AS bucket,
+  SELECT greatest(CAST(0 AS BIGINT), least(CAST(floor((v - lo) / ((hi - lo) / 32)) AS BIGINT), 31)) AS bucket,
          CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
          CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
   FROM v, b GROUP BY 1),
@@ -828,8 +999,8 @@ def q_docs_token_stats(spark, sf_dir):
 SQL_DOCS_TOKEN_STATS = """
 SELECT doc_id, length(text) AS chars,
   CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
-  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) AS bpe_tokens
+       ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r])')) AS bpe_tokens
 FROM documents
 """
 
@@ -846,7 +1017,7 @@ def q_docs_quality(spark, sf_dir):
 SQL_DOCS_QUALITY = """
 SELECT doc_id,
   CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens,
   round(CASE WHEN length(text) > 0 THEN
     (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) * 1.0 / length(text)
     ELSE 0 END, 4) AS punct_ratio,
@@ -854,10 +1025,10 @@ SELECT doc_id,
     (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text)
     ELSE 0 END, 4) AS alpha_ratio,
   round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0 THEN
+       ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) > 0 THEN
     len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|with)\\b')) * 1.0
       / (CASE WHEN length(trim(text)) = 0 THEN 0
-          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+          ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END)
     ELSE 0 END, 4) AS stopword_ratio
 FROM documents
 """
@@ -882,7 +1053,7 @@ WITH base AS (
   SELECT doc_id,
     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                 l -> length(l) > 0) AS lines,
-    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+    string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
   FROM documents),
 g AS (
   SELECT doc_id, lines,
@@ -942,7 +1113,7 @@ def q_docs_decontaminate(spark, sf_dir):
 SQL_DOCS_DECONTAMINATE = """
 WITH norm AS (
   SELECT doc_id,
-    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
   FROM documents),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_filter(
@@ -1076,7 +1247,7 @@ def q_docs_exact_dedup(spark, sf_dir):
 
 
 SQL_DOCS_EXACT_DEDUP = """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
        count(*) AS group_size, min(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """
@@ -1100,8 +1271,8 @@ WITH sh AS (
   FROM documents,
   LATERAL (
     SELECT DISTINCT unnest(list_transform(
-      generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 2, 1)),
-      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), i, i + 2), ' ')
+      generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '), i, i + 2), ' ')
     )) AS shingle
   ) sh
   WHERE len(string_split(sh.shingle, ' ')) = 3
@@ -1151,8 +1322,8 @@ WITH RECURSIVE sh AS (
   FROM documents,
   LATERAL (
     SELECT DISTINCT unnest(list_transform(
-      generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 2, 1)),
-      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), i, i + 2), ' ')
+      generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '), i, i + 2), ' ')
     )) AS shingle
   ) sh
   WHERE len(string_split(sh.shingle, ' ')) = 3
@@ -1184,11 +1355,17 @@ SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
 
 
 def q_docs_top_jaccard(spark, sf_dir):
+    """Exploratory top-k Jaccard. Even the exploratory form keeps a
+    (generous) stop-shingle cap: max_shingle_freq=None is the unbounded
+    quadratic self-join — one hot shingle at 100x data explodes it —
+    and a 100-doc cap only drops shingles shared by >=20% of this corpus,
+    which contribute candidates, not discrimination. The cap is mirrored
+    in the oracle, so the compare stays exact."""
     from jsonschema_infer_spark.operators.dedup import ngram_jaccard_pairs
 
     df = _load(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_freq=None)
+        ngram_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_freq=100)
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(10)
     )
@@ -1200,16 +1377,20 @@ WITH sh AS (
   FROM documents,
   LATERAL (
     SELECT DISTINCT unnest(list_transform(
-      generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 2, 1)),
-      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), i, i + 2), ' ')
+      generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '), i, i + 2), ' ')
     )) AS shingle
   ) sh
   WHERE len(string_split(sh.shingle, ' ')) = 3
 ), sizes AS (
   SELECT id, count(*) AS sz FROM sh GROUP BY id
+), freq_ok AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100
+), shc AS (
+  SELECT sh.id, sh.shingle FROM sh JOIN freq_ok USING (shingle)
 ), inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b,
@@ -1237,10 +1418,11 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 
 def q_embeddings_cos_pairs(spark, sf_dir):
     """Exact all-pairs embedding similarity (the baseline the ANN variants
-    approximate): blocked BLAS matmul against the broadcast side via
-    mapInPandas — no N^2 materialization on the JVM, one matrix product
-    per Arrow batch. operators/similarity.lsh_cosine_pairs is the 100 TB
-    path when neither side fits."""
+    approximate): fully distributed blocked self-join — every unordered
+    block pair is one cogroup task running a single BLAS matmul, no side
+    is ever collected to the driver, executor memory bounded by the block
+    size. operators/similarity.lsh_cosine_pairs is the subquadratic path
+    when threshold-based candidate pruning is acceptable."""
     from jsonschema_infer_spark.operators.similarity import cosine_pairs_exact
 
     df = _load(spark, sf_dir, "embeddings")
@@ -1256,12 +1438,42 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45
 
 
 def q_embeddings_lsh_pairs(spark, sf_dir):
-    """ANN scale path: random-hyperplane LSH bucketing -> band-join
-    candidates -> exact cosine verify (rows-only: DuckDB has no LSH)."""
+    """ANN scale path, Gaussian planes (the performance default):
+    random-hyperplane LSH bucketing -> band-join candidates -> exact
+    cosine verify. Oracled via a signature table an independent numpy
+    path materializes (_lsh_gauss_sigs_path): DuckDB replays banding +
+    verification from it, so the compare covers the full pipeline."""
     from jsonschema_infer_spark.operators.similarity import lsh_cosine_pairs
 
     df = _load(spark, sf_dir, "embeddings")
     return lsh_cosine_pairs(df, threshold=0.4, n_planes=16, bands=8, seed=42)
+
+
+def _sql_embeddings_lsh_pairs(
+    n_planes: int = 16, bands: int = 8, threshold: float = 0.4
+) -> str:
+    """Mirror of lsh_cosine_pairs(plane_fn='gauss'): signatures from the
+    independently-computed parquet (same seeded planes, numpy float64
+    projections), band values by the same shift/mask bit layout, exact
+    cosine verification against the embeddings table."""
+    rpb = n_planes // bands
+    mask = (1 << rpb) - 1
+    return f"""
+WITH sig AS (SELECT id, sig FROM read_parquet('{_lsh_gauss_sigs_path(n_planes)}')),
+bands AS (
+  SELECT id, b.band, (sig >> (b.band * {rpb})) & {mask} AS val
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.val = y.val AND x.id < y.id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {threshold}
+"""
 
 
 def q_embeddings_lsh_md5(spark, sf_dir):
@@ -1320,14 +1532,55 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {threshold}
 """
 
 
+_IVF_CENTROID_IDS = list(range(1, 17))  # deterministic row-centroids
+
+
 def q_embeddings_ivf_topk(spark, sf_dir):
-    """IVF-flat approximate top-k: probe only the nearest coarse cells
-    (rows-only: approximate by construction)."""
+    """IVF-flat approximate top-k with the GENUINELY approximate probe
+    (n_probe=4 of 16 cells) — fully oracled: centroids are deterministic
+    table rows (centroid_ids), so DuckDB replays cell assignment, probe
+    selection and scoring; embeddings_ivf_exact keeps oracling the
+    full-probe==brute-force identity."""
     from jsonschema_infer_spark.operators.similarity import ivf_topk
 
     df = _load(spark, sf_dir, "embeddings")
     qvec = df.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(df.filter(F.col("vec_id") != 0), qvec, k=10, seed=42)
+    return ivf_topk(
+        df.filter(F.col("vec_id") != 0),
+        qvec,
+        k=10,
+        n_cells=16,
+        n_probe=4,
+        centroid_ids=_IVF_CENTROID_IDS,
+    )
+
+
+def _sql_embeddings_ivf_topk(n_probe: int = 4, k: int = 10) -> str:
+    """Mirror of ivf_topk(centroid_ids=...): per-row nearest centroid by
+    euclidean distance (float64, tie -> smallest centroid id, matching
+    numpy argmin over id-sorted centroids), query probes its n_probe
+    nearest cells, cosine top-k over probed rows only."""
+    idlist = ",".join(str(i) for i in _IVF_CENTROID_IDS)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id IN ({idlist})
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY list_distance(CAST(cvec AS DOUBLE[]), CAST(qv AS DOUBLE[])), cid
+  LIMIT {n_probe}
+), asg AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM cents c
+          ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), c.cid
+          LIMIT 1) AS cell
+  FROM embeddings e WHERE e.vec_id <> 0
+)
+SELECT a.vec_id, round(list_cosine_similarity(a.embedding, q.qv), 4) AS cos_sim
+FROM asg a, q
+WHERE a.cell IN (SELECT cid FROM probe)
+ORDER BY cos_sim DESC, a.vec_id LIMIT {k}
+"""
 
 
 def q_embeddings_ivf_exact(spark, sf_dir):
@@ -1414,16 +1667,85 @@ def q_infer_props_json_schema(spark, sf_dir):
 
 
 def q_minhash_dups_docs(spark, sf_dir):
+    """MinHash+LSH on the xxhash64 fast path (the performance default) —
+    oracled via a signature table computed WITHOUT Spark by the
+    spec-derived pure-Python XXH64 (functions/xxh64.py): DuckDB replays
+    banding and exact-Jaccard verification from it, so the driver compare
+    cross-checks the JVM hash, the shingling and the whole pair pipeline."""
     from jsonschema_infer_spark.operators.dedup import minhash_lsh_pairs
 
     df = _load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(df, threshold=0.5, num_perm=32, bands=8)
 
 
+def _sql_minhash_dups_docs(
+    num_perm: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """Mirror of minhash_lsh_pairs(hash_fn='xxhash64'): per-permutation
+    minima from the independently-computed signature parquet, band keys =
+    the ordered slice (equivalent to Spark's xxhash64(to_json(slice))
+    bucket up to negligible hash collisions), bucket self-join, exact
+    Jaccard on word 3-shingles from the documents table."""
+    rpb = num_perm // bands
+    return f"""
+WITH mh AS (SELECT id, i, mh FROM read_parquet('{_minhash_xx_sigs_path(num_perm)}')),
+bands AS (
+  SELECT id, i // {rpb} AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+  FROM mh GROUP BY id, i // {rpb}
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+), sh AS (
+  SELECT doc_id AS id, sh.shingle AS shingle
+  FROM documents,
+  LATERAL (
+    SELECT DISTINCT unnest(list_transform(
+      generate_series(1, greatest(len(string_split({_SQL_NORM}, ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split({_SQL_NORM}, ' '), i, i + 2), ' ')
+    )) AS shingle
+  ) sh
+  WHERE len(string_split(sh.shingle, ' ')) = 3
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= {threshold}
+"""
+
+
 def q_simhash_near_docs(spark, sf_dir):
+    """SimHash near-pairs on the xxhash64 fast path — oracled via an
+    independently-computed signature table (pure-Python XXH64 + the same
+    ±1 vote recombination): DuckDB replays the 4x16-bit pigeonhole
+    bucketing and bit_count(xor) verification from it."""
     from jsonschema_infer_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _sql_simhash_near_docs(max_hamming: int = 3) -> str:
+    return f"""
+WITH sig AS (SELECT id, simhash FROM read_parquet('{_simhash_xx_sigs_path()}')),
+chunks AS (
+  SELECT id, simhash, k.chunk, (simhash >> (16 * k.chunk)) & 65535 AS val
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) k(chunk)
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+                  x.simhash AS sa, y.simhash AS sb
+  FROM chunks x JOIN chunks y
+    ON x.chunk = y.chunk AND x.val = y.val AND x.id < y.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
 
 
 def q_minhash_dups_md5(spark, sf_dir):
@@ -1449,7 +1771,7 @@ def q_simhash_near_md5(spark, sf_dir):
     return simhash_near_pairs(df, max_hamming=3, hash_fn="md5")
 
 
-_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_NORM = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 
 def _sql_minhash_dups_md5(num_perm: int = 16, bands: int = 4) -> str:
@@ -1580,31 +1902,119 @@ def q_events_schema_drift(spark, sf_dir):
     between the declared producer contract and the schema the distributed
     fold actually infers from today's events table — new properties, type
     widenings, formats that stopped or started holding. The dual of the
-    value-level drift checks (rows-only: the inference fold has no DuckDB
-    equivalent; the diff itself is O(columns) driver logic)."""
+    value-level drift checks. Oracled: each reachable change record is
+    derived in SQL from the data condition that produces it (see
+    SQL_EVENTS_SCHEMA_DRIFT), so the compare checks the fold's
+    type-lattice outcomes for this table, not a hardcoded diff."""
     from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
     from jsonschema_infer_spark.plans.diff import schema_diff_df
 
     df = _load(spark, sf_dir, "events")
     res = infer_dataframe(df, num_partitions=8)
-    return schema_diff_df(spark, EVENTS_CONTRACT_SCHEMA, res.schema)
+    # absent before/after as '' (not NULL) so row tuples sort/compare
+    # deterministically in any engine
+    return schema_diff_df(spark, EVENTS_CONTRACT_SCHEMA, res.schema).fillna(
+        "", subset=["before", "after"]
+    )
+
+
+# DuckDB twin of q_events_schema_drift: every reachable change record for
+# this table's column set, each gated on the DATA condition that makes the
+# inference fold produce it — props appears (property_added) and is
+# null-free (required_added); value's type is the sorted set of observed
+# primitive types (integral float -> integer, node.go:296-301) and differs
+# from the contract's "integer" exactly when a non-integral value exists;
+# a contract-required column with observed NULLs would emit
+# required_removed (conditions included so a fixture change flips the
+# oracle the same way it flips the diff). Structural column add/remove
+# cannot be expressed in static SQL — those are covered by the pytest
+# diff suite (test_schema_diff.py).
+SQL_EVENTS_SCHEMA_DRIFT = """
+WITH stats AS (
+  SELECT count(*) AS n,
+         count(props) AS props_seen,
+         sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls,
+         sum(CASE WHEN value IS NOT NULL AND value = floor(value) THEN 1 ELSE 0 END) AS value_int,
+         sum(CASE WHEN value IS NOT NULL AND value <> floor(value) THEN 1 ELSE 0 END) AS value_nonint,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_nulls,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls
+  FROM events
+)
+SELECT path, change, before, after FROM (
+  SELECT '$.props' AS path, 'property_added' AS change,
+         '' AS before, '"string"' AS after
+  FROM stats WHERE props_seen > 0
+  UNION ALL
+  SELECT '$.props', 'required_added', '', ''
+  FROM stats WHERE n > 0 AND props_nulls = 0
+  UNION ALL
+  SELECT '$.value', 'type_changed', '"integer"',
+         CASE WHEN value_int > 0 AND value_nonint > 0 THEN '["integer","number"]'
+              ELSE '"number"' END
+  FROM stats WHERE value_nonint > 0
+  UNION ALL
+  SELECT '$.' || c.col, 'required_removed', '', ''
+  FROM stats,
+       (VALUES ('event_id'), ('ts'), ('user_id'), ('event_type'), ('value')) c(col)
+  WHERE CASE c.col WHEN 'event_id' THEN event_id_nulls
+                   WHEN 'ts' THEN ts_nulls
+                   WHEN 'user_id' THEN user_id_nulls
+                   WHEN 'event_type' THEN event_type_nulls
+                   ELSE value_nulls END > 0
+)
+ORDER BY path, change
+"""
+
+
+def _tx_bucket_map_path(num_buckets: int = 8) -> str:
+    """(conv_id, bucket) parquet mirroring partition_verdicts' bucketing —
+    pmod(xxhash64(conv_id), num_buckets) — computed WITHOUT Spark by the
+    spec-derived pure-Python XXH64, so the DuckDB oracle both replays the
+    verdict bucketing and cross-checks the JVM string hash."""
+    path = os.path.join(_CACHE, f"tx_bucket_map_{num_buckets}_v1.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jsonschema_infer_spark.functions.xxh64 import spark_xxhash64_str
+
+        t = pq.read_table(_violated_tx_path(), columns=["conv_id"])
+        convs = sorted({c for c in t.column("conv_id").to_pylist() if c is not None})
+        # Python % on a signed int is already non-negative = Spark's pmod
+        buckets = [spark_xxhash64_str(c) % num_buckets for c in convs]
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": pa.array(convs, pa.string()),
+                    "bucket": pa.array(buckets, pa.int32()),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
 
 
 def q_transcript_verdicts(spark, sf_dir):
-    """Flagship transcript pipeline end-to-end (rows-only: the inference
-    fold + injected-violation bookkeeping are not DuckDB-expressible):
-    deterministic violated transcript table -> distributed inference ->
-    constraint compile -> per-bucket pass/fail verdicts + uniqueness and
-    turn-ordering violation counts (north_rule's per-partition verdicts)."""
+    """Flagship transcript pipeline end-to-end over the materialized
+    violated table: distributed inference -> constraint compile ->
+    per-bucket pass/fail verdicts + uniqueness and turn-ordering violation
+    counts (north_rule's per-partition verdicts). Fully oracled: the
+    bucket assignment is replayed from a pure-Python-XXH64 mapping table,
+    rows/dup/order counts are plain SQL, and violation_total == 0 is the
+    STRUCTURAL self-validation invariant (constraints inferred from a
+    snapshot cannot flag that snapshot: required only ever binds no-null
+    columns, enums contain every observed value) — the oracle pins it, so
+    an inference or compiler regression that starts flagging rows fails
+    the compare."""
     from jsonschema_infer_spark.operators import validate as V
     from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
-    from jsonschema_infer_spark.sources.transcripts import (
-        generate_transcripts,
-        inject_violations,
-    )
 
-    table, _log = inject_violations(generate_transcripts(300, seed=7), seed=7)
-    df = spark.createDataFrame(table.to_pandas())
+    df = spark.read.parquet(_violated_tx_path())
     res = infer_dataframe(df, num_partitions=8)
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
     verdicts = V.partition_verdicts(df, cons, bucket_col="conv_id", num_buckets=8)
@@ -1660,6 +2070,47 @@ SELECT conv_id, n_turns, min_idx, max_idx, n_distinct,
     CASE WHEN n_distinct <> n_turns THEN 'dup_turn' END) AS reasons
 FROM a
 WHERE min_idx <> 0 OR max_idx <> n_distinct - 1 OR n_distinct <> n_turns
+"""
+
+
+def _sql_transcript_verdicts() -> str:
+    """Mirror of q_transcript_verdicts: bucket counts via the pure-Python
+    XXH64 mapping table (LEFT JOIN; NULL conv_id falls back to
+    pmod(seed=42, 8) = 2, the Spark null-hash identity), dup/order counts
+    as plain SQL over the same parquet, and the structural
+    violation_total = 0 self-validation invariant pinned."""
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{_violated_tx_path()}')),
+map AS (SELECT conv_id, bucket FROM read_parquet('{_tx_bucket_map_path()}')),
+per AS (
+  SELECT CAST(COALESCE(m.bucket, 2) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS "rows"
+  FROM t LEFT JOIN map m ON t.conv_id = m.conv_id
+  GROUP BY 1
+), dups AS (
+  -- duplicate_keys does NOT filter NULL keys (groupBy groups them),
+  -- unlike turn_ordering_violations below — mirror exactly
+  SELECT CAST(count(*) AS BIGINT) AS dup_keys FROM (
+    SELECT conv_id, turn_idx FROM t
+    GROUP BY conv_id, turn_idx HAVING count(*) > 1)
+), ord AS (
+  SELECT CAST(count(*) AS BIGINT) AS order_violations FROM (
+    WITH g AS (
+      SELECT conv_id, turn_idx, count(*) AS c FROM t
+      WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+      GROUP BY conv_id, turn_idx),
+    a AS (
+      SELECT conv_id, CAST(sum(c) AS BIGINT) AS n_turns, min(turn_idx) AS min_idx,
+             max(turn_idx) AS max_idx, count(*) AS n_distinct
+      FROM g GROUP BY conv_id)
+    SELECT conv_id FROM a
+    WHERE min_idx <> 0 OR max_idx <> n_distinct - 1 OR n_distinct <> n_turns)
+)
+SELECT per.bucket, per."rows",
+       CAST(0 AS BIGINT) AS violation_total, true AS passed,
+       dups.dup_keys, ord.order_violations
+FROM per, dups, ord
+ORDER BY per.bucket
 """
 
 
@@ -1757,16 +2208,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dups_md5": q_minhash_dups_md5,
         "simhash_near_md5": q_simhash_near_md5,
         "media_features": q_media_features,
-        # rows-only (genuinely no SQL equivalent: type-lattice fold,
-        # xxhash64/Gaussian fast paths, approximate-by-construction IVF)
-        "infer_events_schema": q_infer_events_schema,
-        "infer_props_json_schema": q_infer_props_json_schema,
-        "transcript_verdicts": q_transcript_verdicts,
-        "events_schema_drift": q_events_schema_drift,
+        # oracled fast paths: the xxhash64 / Gaussian variants are compared
+        # against signature tables computed by INDEPENDENT non-Spark
+        # implementations (pure-Python XXH64, plain numpy); approximate IVF
+        # uses deterministic row-centroids so DuckDB replays the probe
         "embeddings_lsh_pairs": q_embeddings_lsh_pairs,
         "embeddings_ivf_topk": q_embeddings_ivf_topk,
         "minhash_dups_docs": q_minhash_dups_docs,
         "simhash_near_docs": q_simhash_near_docs,
+        "transcript_verdicts": q_transcript_verdicts,
+        "events_schema_drift": q_events_schema_drift,
+        # rows-only (genuinely no SQL equivalent: the type-lattice fold)
+        "infer_events_schema": q_infer_events_schema,
+        "infer_props_json_schema": q_infer_props_json_schema,
     }
 
 
@@ -1820,4 +2274,10 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_lsh_md5": _sql_embeddings_lsh_md5(),
         "events_orphan_users": SQL_EVENTS_ORPHAN_USERS,
         "embeddings_label_profile": SQL_EMBEDDINGS_LABEL_PROFILE,
+        "minhash_dups_docs": _sql_minhash_dups_docs(),
+        "simhash_near_docs": _sql_simhash_near_docs(),
+        "embeddings_lsh_pairs": _sql_embeddings_lsh_pairs(),
+        "embeddings_ivf_topk": _sql_embeddings_ivf_topk(),
+        "transcript_verdicts": _sql_transcript_verdicts(),
+        "events_schema_drift": SQL_EVENTS_SCHEMA_DRIFT,
     }

@@ -53,6 +53,98 @@ BENCH_QUERIES = [
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 
+# --- host-health probes (shared with bench_scaling.py) -----------------------
+# This microVM degrades on two independent axes for minutes at a time:
+# page-fault servicing (the same 256 MB numpy copy measured 29 s and 0.08 s
+# apart) and raw CPU clock (fixed single-thread burn 1.4 s healthy, 3.1 s
+# degraded with 4-5% steal). Every benchmark number is gated on both.
+
+
+def memcpy_gbps(size_mb: int = 256, reps: int = 3) -> float:
+    """First-touch + copy bandwidth probe (best of reps), GB/s."""
+    import numpy as np
+
+    a = np.zeros(size_mb * 1024 * 1024 // 8)
+    best = 1e9
+    for _ in range(reps):
+        t = time.time()
+        b = a.copy()
+        best = min(best, time.time() - t)
+        del b
+    return round(size_mb / 1024.0 / best, 2)
+
+
+def _burn(_=None):
+    s = 0
+    for i in range(20_000_000):
+        s += i % 7
+    return s
+
+
+def cpu_burn_secs() -> float:
+    """Fixed-work single-thread probe, seconds (best of 2)."""
+    best = 1e9
+    for _ in range(2):
+        t = time.time()
+        _burn()
+        best = min(best, time.time() - t)
+    return round(best, 2)
+
+
+def probe_health() -> tuple:
+    """(mem GB/s, cpu burn secs, healthy?) — healthy needs BOTH axes."""
+    gbps = memcpy_gbps()
+    burn = cpu_burn_secs()
+    return gbps, burn, gbps >= 2.0 and burn <= 2.0
+
+
+def wait_healthy(max_wait_s: float = 600.0) -> tuple:
+    """Block (bounded) until the host leaves a degraded window; fail-open
+    on a permanently slow host. Returns the last (gbps, burn_s)."""
+    deadline = time.time() + max_wait_s
+    gbps, burn, ok = probe_health()
+    while not ok and time.time() < deadline:
+        print(
+            f"  host degraded (mem {gbps} GB/s, burn {burn}s) — waiting 30s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(30)
+        gbps, burn, ok = probe_health()
+    return gbps, burn
+
+
+def _copy_worker(size_mb: int) -> float:
+    import numpy as np
+
+    a = np.zeros(size_mb * 1024 * 1024 // 8)
+    a += 1.0  # pre-fault the source pages: time copy + dest faults only,
+    # the same traffic mix as memcpy_gbps' steady-state reps
+    t = time.time()
+    b = a.copy()
+    dt = time.time() - t
+    del a, b
+    return dt
+
+
+def parallel_memcpy_gbps(procs: int, size_mb: int = 256, reps: int = 3) -> float:
+    """AGGREGATE copy bandwidth with `procs` concurrent workers, GB/s —
+    how much wider the one memory bus gets when threads multiply. The
+    (bw_4N / bw_N) / 4 ratio is the hard ceiling for any memory-bound
+    job's N->4N scaling efficiency on this host (bench_scaling.py reports
+    it next to the measured pair)."""
+    import multiprocessing as mp
+
+    best = 1e9
+    with mp.Pool(procs) as p:
+        p.map(_burn, range(procs))  # warm the pool
+        for _ in range(reps):
+            t0 = time.time()
+            p.map(_copy_worker, [size_mb] * procs)
+            best = min(best, time.time() - t0)
+    return round(procs * size_mb / 1024.0 / best, 2)
+
+
 def ensure_bench_transcripts(n_convs: int, seed: int = 42) -> str:
     """Generate-and-cache the bench transcript table (violated variant so the
     validation pass has real work)."""
@@ -103,10 +195,38 @@ def run_transcript_pipeline(spark, path: str) -> dict:
     }
 
 
+def run_suite(spark, qs, sf_dir: str, n_convs: int, reps: int) -> tuple:
+    """One pass over the headline queries (best of ``reps`` timed runs
+    each, after one warm-up) plus the transcript pipeline (best of 2)."""
+    timings: dict = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        # warm-up run: pay whole-stage-codegen compilation + IO cache once,
+        # then time the steady-state execution (what a long-running cluster
+        # actually sees)
+        df.write.format("noop").mode("overwrite").save()
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()  # full exec, no collect
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    tx_path = ensure_bench_transcripts(n_convs)
+    pipe = run_transcript_pipeline(spark, tx_path)
+    pipe2 = run_transcript_pipeline(spark, tx_path)
+    if pipe2["turns_per_sec"] > pipe["turns_per_sec"]:
+        pipe = pipe2
+    timings["transcript_pipeline"] = round(pipe["secs"], 3)
+    return timings, pipe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "300000"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
 
     from pyspark.sql import SparkSession
 
@@ -124,23 +244,34 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
-    timings: dict = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        df = qs[name](spark, sf_dir)
-        # warm-up run: pay whole-stage-codegen compilation + IO cache once,
-        # then time the steady-state execution (what a long-running cluster
-        # actually sees)
-        df.write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()  # execute fully, no collect
-        timings[name] = round(time.time() - t0, 3)
-        total += timings[name]
 
-    tx_path = ensure_bench_transcripts(n_convs)
-    pipe = run_transcript_pipeline(spark, tx_path)
-    timings["transcript_pipeline"] = round(pipe["secs"], 3)
-    total += pipe["secs"]
+    # Health-gated measurement: wait (bounded) for a healthy window, run
+    # the suite best-of-N, re-probe after — if the window collapsed
+    # mid-suite, run again and keep the per-query minima. Probes are
+    # recorded in the output so a degraded-host number is labeled as such.
+    timings: dict = {}
+    pipe: dict = {}
+    probes = []
+    for attempt in range(max_attempts):
+        pre_g, pre_b = wait_healthy()
+        t, p = run_suite(spark, qs, sf_dir, n_convs, reps)
+        post_g, post_b, post_ok = probe_health()
+        probes.append(
+            {"pre_gbps": pre_g, "pre_burn_s": pre_b,
+             "post_gbps": post_g, "post_burn_s": post_b}
+        )
+        timings = {k: min(v, timings.get(k, 1e9)) for k, v in t.items()}
+        if not pipe or p["turns_per_sec"] > pipe["turns_per_sec"]:
+            pipe = p
+        if post_ok:
+            break
+        print(
+            f"  suite attempt {attempt + 1} tainted "
+            f"(post mem {post_g} GB/s, burn {post_b}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+    total = sum(timings.values())
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -154,6 +285,10 @@ def main() -> None:
                 "turns_per_sec": round(pipe["turns_per_sec"], 1),
                 "bench_rows": pipe["rows"],
                 "cpus": int(cpus),
+                "query_reps": reps,
+                "host_probes": probes,
+                "host_healthy": bool(probes and probes[-1]["post_gbps"] >= 2.0
+                                     and probes[-1]["post_burn_s"] <= 2.0),
             }
         )
     )

@@ -216,8 +216,6 @@ def fused_with_checkpoint(
 
     Returns (InferResult | None, integrity dict | None, manifest) —
     the results are None only when no task has completed yet."""
-    import pyarrow.parquet as pq
-
     from .operators.infer_spark import _list_rg_tasks, list_parquet_files
     from .operators.pipeline import _fused_task
     from .operators.validate import reduce_spilled_partials

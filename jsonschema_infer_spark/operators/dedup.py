@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .text import normalize_text, fingerprint
+from .text import WS, normalize_text, fingerprint
 
 
 # --- exact -------------------------------------------------------------------
@@ -197,6 +197,31 @@ def contamination_hits(
     )
 
 
+def py_word_tokens(text) -> list:
+    """Pure-Python twin of ``split(normalize_text(c), ' ')`` — exact JVM
+    semantics: shared whitespace class (text.WS), U+0020-only strip."""
+    import re
+
+    if text is None:
+        return []
+    return re.sub(WS + "+", " ", str(text).lower()).strip(" ").split(" ")
+
+
+def py_word_shingles(text, n: int = 3) -> set:
+    """Pure-Python twin of ``word_shingles()`` (distinct word n-grams).
+    Shared by the Arrow shingler below and the driver-oracle signature
+    builders in __spark_entry__ (equality-tested vs the JVM expressions
+    in test_ops_training_data.py)."""
+    if text is None:
+        return set()
+    toks = py_word_tokens(text)
+    return {
+        " ".join(toks[i : i + n])
+        for i in range(max(len(toks) - n, 0) + 1)
+        if len(toks[i : i + n]) == n
+    }
+
+
 def _exploded_word_shingles_pandas(
     df: DataFrame, text_col: str, id_col: str | None, n: int
 ) -> DataFrame:
@@ -204,8 +229,6 @@ def _exploded_word_shingles_pandas(
     identical values to explode(word_shingles(...)); interpreted JVM
     higher-order functions cost ~1 ms/doc, batched Python ~50 µs/doc
     (equality-tested in test_ops_training_data.py)."""
-    import re
-
     import pandas as pd
 
     id_type = (
@@ -223,23 +246,14 @@ def _exploded_word_shingles_pandas(
                 t = pdf[text_col].iloc[idx]
                 if t is None:
                     continue
-                # ASCII \s + space-only strip = exact JVM/DuckDB semantics
-                toks = re.sub(
-                    r"\s+", " ", str(t).lower(), flags=re.ASCII
-                ).strip(" ").split(" ")
-                grams = {
-                    " ".join(toks[i : i + n])
-                    for i in range(max(len(toks) - n, 0) + 1)
-                    if len(toks[i : i + n]) == n
-                }
+                grams = py_word_shingles(t, n)
                 if id_col:
                     ids.extend([pdf[id_col].iloc[idx]] * len(grams))
                 shs.extend(grams)
-            data = {"shingle": shs}
             if id_col:
                 yield pd.DataFrame({id_col: ids, "shingle": shs})
             else:
-                yield pd.DataFrame(data)
+                yield pd.DataFrame({"shingle": shs})
 
     return df.select(*cols).mapInPandas(gen, out_schema)
 
@@ -286,15 +300,21 @@ def _perm_hash(s, i: int, hash_fn: str):
 def minhash_signature(shingles_col, num_perm: int = 64, hash_fn: str = "xxhash64"):
     """num_perm minhash values as array<bigint>: min over hash(shingle,
     seed) per permutation — pure Column expressions, no UDF. hash_fn
-    "xxhash64" (fast, default) or "md5" (engine-portable, oracle-able)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles_col, lambda s, i=i: _perm_hash(s, i, hash_fn))
-            )
-            for i in range(num_perm)
-        ]
-    )
+    "xxhash64" (fast, default) or "md5" (engine-portable, oracle-able).
+
+    The permutation index is bound through a closure-returning helper, NOT
+    a lambda default: ``F.transform`` passes the ARRAY INDEX as the second
+    argument to any two-parameter function, silently overriding a
+    ``lambda s, i=i`` default — which made every permutation hash with the
+    element position as its seed (all num_perm values identical per doc;
+    caught by the independent pure-Python-XXH64 oracle in round 3)."""
+
+    def perm(i: int):
+        return F.array_min(
+            F.transform(shingles_col, lambda s: _perm_hash(s, i, hash_fn))
+        )
+
+    return F.array(*[perm(i) for i in range(num_perm)])
 
 
 def minhash_lsh_pairs(
@@ -541,6 +561,7 @@ def connected_components(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct().localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         # large-star: attach every strictly-larger neighbor of u to
         # m = min(neighbors(u) + {u})
@@ -575,8 +596,20 @@ def connected_components(
             and cur.exceptAll(nxt).isEmpty()
         ):
             cur = nxt
+            converged = True
             break
         cur = nxt
+    if not converged:
+        # a non-converged star forest can leave a node with several parent
+        # edges, so the left join below would emit duplicate rows with
+        # inconsistent labels — downstream cluster_dedup assumes one label
+        # per node, so fail loudly instead of returning garbage
+        raise RuntimeError(
+            f"connected_components did not reach the edge-set fixpoint in "
+            f"{max_iter} rounds; raise max_iter (alternating star rounds "
+            f"converge in O(log^2 n) — needing more than {max_iter} means "
+            f"a pathological pair graph)"
+        )
     labels = nodes.join(cur, nodes["node"] == cur["u"], "left").select(
         "node", F.coalesce(cur["v"], nodes["node"]).alias("component")
     )

@@ -108,9 +108,27 @@ def numeric_drift(
     column,
     mode: str = "exact",
     bins: int = 1024,
+    max_exact_distinct: int | None = 100_000,
 ) -> dict:
-    """Two-sample KS test on a numeric column (or Column expression)."""
+    """Two-sample KS test on a numeric column (or Column expression).
+
+    ``mode='exact'`` sorts the DISTINCT values through one global window —
+    a silent single-task serial sort if the column is high-cardinality. A
+    cheap ``approx_count_distinct`` probe guards that: above
+    ``max_exact_distinct`` the call auto-switches to ``mode='hist'`` (the
+    returned ``mode`` reflects what actually ran). Pass
+    ``max_exact_distinct=None`` to skip the probe and force the exact path."""
     col_expr = F.col(column) if isinstance(column, str) else column
+    if mode == "exact" and max_exact_distinct is not None:
+        nd = (
+            df_a.select(col_expr.alias("v"))
+            .unionByName(df_b.select(col_expr.alias("v")))
+            .agg(F.approx_count_distinct("v").alias("nd"))
+            .collect()[0]
+            .nd
+        )
+        if nd > max_exact_distinct:
+            mode = "hist"
     if mode == "exact":
         d, n1, n2 = _exact_ks_d(df_a, df_b, col_expr)
     elif mode == "hist":
@@ -205,9 +223,15 @@ def psi_numeric(
         lo = float(bounds.lo) if lo is None else lo
         hi = float(bounds.hi) if hi is None else hi
     width = (hi - lo) / bins if hi > lo else 1.0
-    bucket = F.least(
-        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
-        F.lit(bins - 1),
+    # clamp BOTH edges: with an explicitly pinned lo, values below it must
+    # collapse into bucket 0 the way values past hi collapse into bins-1
+    # (matches streaming.windowed_histogram_counts and the SQL oracle)
+    bucket = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(bins - 1),
+        ),
     )
     u = va.withColumn("side", F.lit(1)).unionByName(vb.withColumn("side", F.lit(0)))
     g = u.select(bucket.alias("bucket"), "side").groupBy("bucket").agg(

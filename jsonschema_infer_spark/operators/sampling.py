@@ -61,6 +61,11 @@ def hash_split(
         raise ValueError("fractions must name at least one split")
     import math
 
+    total = math.fsum(fractions.values())
+    if total > 1.0 + 1e-9:
+        # fractions past 1 would silently truncate later splits to empty
+        raise ValueError(f"fractions must sum to <= 1, got {total}")
+
     u = _unit_hash(F.col(key_col), salt)
     names = list(fractions)
     expr = None

@@ -108,39 +108,77 @@ def cosine_pairs_exact(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold via blocked matrix products.
+    """Exact all-pairs cosine >= threshold, fully distributed: the classic
+    blocked self-join. Rows are hashed into ``n_blocks`` blocks; every
+    unordered block pair (i <= j) becomes one cogroup task that runs a
+    single BLAS matmul over its two blocks. No side is ever collected to
+    the driver and no executor holds more than 2 * N / n_blocks vectors —
+    size ``n_blocks`` so a block fits executor memory (compute stays
+    O(N^2/2) because exact all-pairs is; lsh_cosine_pairs is the
+    subquadratic path when a threshold-based candidate filter is
+    acceptable). Each row is replicated n_blocks times into the shuffle,
+    so pick n_blocks ~ sqrt(cluster cores) at scale.
 
-    One side is collected and broadcast (valid whenever one side fits in
-    executor memory — at larger scale switch to lsh_cosine_pairs, which
-    never materializes N^2); the distributed side streams through a
-    mapInPandas doing a single BLAS matmul per Arrow batch. Column-
-    expression HOF cosine interprets a lambda per element (d * N^2 calls);
-    this form is ~50x faster and bit-comparable after round(4)."""
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Values are bit-comparable with the SQL oracle after round(4): both
+    sides normalize then dot (one dgemm per block pair)."""
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("v"),
+        blk.alias("b"),
+    )
+    # every row fans out to each block pair it belongs to — as the LEFT
+    # side of pairs (b, j >= b) and the RIGHT side of pairs (i <= b);
+    # explode of a filtered literal array, no join, no shuffle until the
+    # cogroup itself
+    js = F.array(*[F.lit(j).cast("int") for j in range(n_blocks)])
+    left = base.select(
+        F.col("b").alias("bi"),
+        F.explode(F.filter(js, lambda j: j >= F.col("b"))).alias("bj"),
+        "id",
+        "v",
+    )
+    right = base.select(
+        F.explode(F.filter(js, lambda j: j <= F.col("b"))).alias("bi"),
+        F.col("b").alias("bj"),
+        "id",
+        "v",
+    )
 
-    def block(batches):
-        for pdf in batches:
-            A = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
-            )
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            sims = np.round(An @ Mn.T, 4)
-            a_ids = pdf[id_col].to_numpy().astype(np.int64)
-            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": ids[bi],
-                    "cos_sim": sims[ai, bi],
-                }
-            )
+    def block(key, lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["v"].to_numpy()])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["v"].to_numpy()])
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        sims = np.round(An @ Bn.T, 4)
+        a_ids = lpdf["id"].to_numpy().astype(np.int64)
+        b_ids = rpdf["id"].to_numpy().astype(np.int64)
+        mask = sims >= threshold
+        if key[0] == key[1]:
+            # diagonal block: both sides hold the same set — keep each
+            # unordered pair once
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        ida, idb = a_ids[ai], b_ids[bi]
+        # every unordered pair lives in exactly one block pair (blocks are
+        # a partition of the ids), so orienting output as (min, max) here
+        # needs no global distinct
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ida, idb),
+                "id_b": np.maximum(ida, idb),
+                "cos_sim": sims[ai, bi],
+            }
+        )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        block, "id_a long, id_b long, cos_sim double"
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(block, "id_a long, id_b long, cos_sim double")
     )
 
 
@@ -266,6 +304,43 @@ def lsh_cosine_pairs(
     )
 
 
+def _coarse_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    seed: int,
+    sample_rows: int,
+    centroid_ids: list | None,
+) -> np.ndarray:
+    """Coarse IVF centroids: deterministic table rows (``centroid_ids``,
+    sorted — index order == id order, the tie-break an external engine can
+    replay) or k-means-lite on a bounded seeded sample."""
+    if centroid_ids is not None:
+        rows = (
+            df.filter(F.col(id_col).isin(list(centroid_ids)))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        rows.sort(key=lambda r: r[0])
+        return np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    sample = np.stack(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()]
+    ).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cents = sample[
+        rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    ]
+    for _ in range(5):  # lite Lloyd iterations on the sample
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            pts = sample[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(0)
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list,
@@ -277,12 +352,14 @@ def ivf_topk(
     seed: int = 42,
     sample_rows: int = 4096,
     impl: str = "pandas",
+    centroid_ids: list | None = None,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: coarse centroids from a seeded sample
-    (driver numpy k-means-lite), rows assigned to nearest cell once, query
-    probes only the n_probe nearest cells. At 100 TB the cell assignment is
-    a materialized column and the probe prunes partitions; here it prunes
-    the scan before scoring.
+    """IVF-flat approximate top-k, recompute form: coarse centroids from a
+    seeded sample (driver numpy k-means-lite), rows assigned to nearest
+    cell in the same pass that scores them. The 100 TB shape is the
+    MATERIALIZED twin — ivf_write persists assignments hive-partitioned by
+    cell and ivf_probe prunes non-probed partitions at the scan
+    (plan-asserted); both return identical results for the same centroids.
 
     ``n_probe >= n_cells`` probes every cell, making the result EXACTLY the
     brute-force top-k — the driver's `embeddings_ivf_exact` query oracles
@@ -292,19 +369,17 @@ def ivf_topk(
     mapInPandas pass — one (batch x cells) distance matrix and one
     matrix-vector product per Arrow batch. ``impl='expr'`` keeps the pure
     Column form (no Python workers), whose HOF lambdas Catalyst interprets
-    per element per centroid — O(cells*dim) interpreter calls per row."""
-    sample = np.stack(
-        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()]
-    ).astype(np.float64)
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
-    for _ in range(5):  # lite Lloyd iterations on the sample
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for c in range(len(cents)):
-            pts = sample[assign == c]
-            if len(pts):
-                cents[c] = pts.mean(0)
+    per element per centroid — O(cells*dim) interpreter calls per row.
+
+    ``centroid_ids`` (sorted list of row ids) picks the centroids
+    DETERMINISTICALLY as those rows' vectors (no sample, no Lloyd) —
+    engine-portable, so an external SQL engine can replay the whole
+    approximate cell-assign/probe/score pipeline (the driver's
+    embeddings_ivf_topk oracle does exactly that); centroid quality is a
+    recall concern, not a correctness one."""
+    cents = _coarse_centroids(
+        df, vec_col, id_col, n_cells, seed, sample_rows, centroid_ids
+    )
 
     q = np.asarray(query_vec, dtype=np.float64)
     qd = ((cents - q[None, :]) ** 2).sum(1)
@@ -360,6 +435,100 @@ def ivf_topk(
     return (
         df.select(id_col, vec_col)
         .mapInPandas(block, f"`{id_col}` {id_type}, cos_sim double")
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_write(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_rows: int = 4096,
+    centroid_ids: list | None = None,
+) -> np.ndarray:
+    """Materialize the IVF index — the 100 TB shape ivf_topk's docstring
+    promises: cell assignment computed ONCE (one mapInPandas pass, one
+    (batch x cells) distance matrix per Arrow batch) and written
+    hive-partitioned by cell, centroids stored next to the data
+    (underscore-prefixed file, invisible to parquet readers). Probes then
+    prune whole partitions instead of recomputing assignments per query.
+    Returns the centroid matrix."""
+    import json
+    import os
+
+    cents = _coarse_centroids(
+        df, vec_col, id_col, n_cells, seed, sample_rows, centroid_ids
+    )
+    C = cents
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            out = pdf.copy()
+            # same full (a-c)^2 sum + first-min tie-break as ivf_topk
+            out["cell"] = ((A[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            yield out
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, cell int"
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query_vec: list,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a materialized IVF index: the n_probe nearest cells are
+    picked on the driver (O(cells) math), and the ``cell`` filter is a
+    PARTITION filter — Catalyst prunes the non-probed directories at
+    planning time, so the scan reads n_probe/n_cells of the data
+    (plan-asserted in tests/test_plans.py). Scoring is the same batched
+    BLAS matvec as ivf_topk; results are identical to recomputing
+    assignments with the same centroids."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        cents = np.asarray(json.load(f), dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = ((cents - q[None, :]) ** 2).sum(1)
+    probe_cells = [int(c) for c in qd.argsort()[:n_probe]]
+    qnorm = np.linalg.norm(q)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()]
+            )
+            sims = np.round((A @ q) / (np.linalg.norm(A, axis=1) * qnorm), 4)
+            yield pd.DataFrame({id_col: pdf[id_col], "cos_sim": sims})
+
+    df = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    id_type = df.schema[id_col].dataType.simpleString()
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(score, f"`{id_col}` {id_type}, cos_sim double")
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )

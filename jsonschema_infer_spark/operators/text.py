@@ -11,6 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# Three-engine whitespace parity: Java regex \s and Python re.ASCII \s are
+# [ \t\n\x0B\f\r], but DuckDB's RE2 \s EXCLUDES vertical tab (\x0B) — text
+# containing \x0B would tokenize/shingle differently in the oracle. Every
+# whitespace regex (here, dedup.py and the oracle SQL) uses this explicit
+# class instead; RE2, Java and Python all interpret \x0B identically.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS = f"[{WS_CHARS}]"
+
 # tiny per-language marker-word sets for the n-gram/stopword heuristic
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
@@ -24,7 +32,7 @@ def token_count(col: Column) -> Column:
     """Whitespace token count; empty/blank strings count 0."""
     trimmed = F.trim(col)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, WS + "+"))
     )
 
 
@@ -32,7 +40,9 @@ def bpe_ish_token_count(col: Column) -> Column:
     """Sub-word-ish token estimate: count of word/number/punct chunks by a
     BPE-like regex (letters runs, digit runs, single punct)."""
     return F.size(
-        F.regexp_extract_all(col, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 0)
+        F.regexp_extract_all(
+            col, F.lit(f"([A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}])"), 0
+        )
     )
 
 
@@ -107,11 +117,11 @@ def _py_repetition_row(text: str) -> tuple:
     import re
 
     # exact JVM/DuckDB semantics: F.trim strips U+0020 ONLY (not tabs or
-    # unicode whitespace), and Java/RE2 \s is ASCII — Python needs
-    # strip(" ") and re.ASCII or the twins diverge on "a\n\ta"
+    # unicode whitespace) — Python needs strip(" ") or the twins diverge
+    # on "a\n\ta"; whitespace is the shared explicit class (see WS)
     lines = [l for l in (s.strip(" ") for s in text.split("\n")) if l]
     dlines = list(dict.fromkeys(lines))
-    toks = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip(" ").split(" ")
+    toks = re.sub(WS + "+", " ", text.lower()).strip(" ").split(" ")
 
     def dup_frac_grams(n):
         grams = [
@@ -270,7 +280,7 @@ def repetition_features(
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact-ish dedup: lowercase, collapse whitespace,
     strip leading/trailing space."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), WS + "+", " "))
 
 
 def fingerprint(col: Column) -> Column:

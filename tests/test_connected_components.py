@@ -100,3 +100,16 @@ def test_cluster_dedup_keeps_component_minimum(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in cluster_dedup(docs, pairs).collect())
     assert kept == [0, 3, 4, 5, 7]
+
+
+def test_max_iter_exhaustion_raises(spark):
+    """A non-converged star forest would emit duplicate, inconsistent
+    labels downstream — exhausting max_iter must fail loudly (ADVICE r2)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, max_iter=1)
+    # and the same graph converges fine with the default budget
+    assert _cc_rows(spark, chain) == _uf_labels(chain)

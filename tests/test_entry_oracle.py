@@ -14,9 +14,13 @@ import duckdb
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import __spark_entry__ as E
 
 SF = "/root/testdata/sf0.001"
+# signature/mapping oracle parquets must be built from the SAME sf the
+# queries run on (the driver uses the default, sf0.01)
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF
+
+import __spark_entry__ as E  # noqa: E402
 
 
 @pytest.fixture(scope="module")

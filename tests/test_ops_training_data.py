@@ -524,3 +524,130 @@ def test_repetition_impls_agree_on_tabs_and_unicode_ws(spark):
     assert a == b
     # "\ta" is NOT a duplicate of "a": trim strips spaces only
     assert a[1][1] == 0.0
+
+
+def test_cosine_pairs_exact_blocked_matches_bruteforce(spark):
+    """The distributed blocked self-join (cogroup per unordered block pair,
+    no driver collect) must emit exactly the brute-force pair set — incl.
+    cross-block pairs where the LEFT side holds the larger id."""
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((60, 8)).astype(np.float32)
+    M[11] = M[4] * 1.5  # exact-direction dup across arbitrary blocks
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(M)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    Mn = M.astype(np.float64)
+    Mn /= np.linalg.norm(Mn, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 4)
+    for thr, blocks in [(0.2, 4), (0.2, 1), (0.9, 7)]:
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in SIM.cosine_pairs_exact(df, thr, n_blocks=blocks).collect()
+        }
+        exp = {
+            (i, j): S[i, j]
+            for i in range(60)
+            for j in range(i + 1, 60)
+            if S[i, j] >= thr
+        }
+        assert got == exp, (thr, blocks)
+
+
+def test_ivf_topk_deterministic_row_centroids(spark):
+    """centroid_ids picks table rows as centroids (no sample, no Lloyd):
+    full probe still equals brute force, and a partial probe returns the
+    brute-force ranking restricted to probed cells."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((120, 16)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in base[5]]
+
+    cids = list(range(1, 9))
+    full = SIM.ivf_topk(df, q, k=5, n_cells=8, n_probe=8, centroid_ids=cids)
+    brute = SIM.cosine_topk(df, q, k=5)
+    assert [(r.vec_id, r.cos_sim) for r in full.collect()] == [
+        (r.vec_id, r.cos_sim) for r in brute.collect()
+    ]
+
+    # partial probe: results are a prefix-consistent subset of brute-force
+    # order over the probed cells only; top hit (the query row itself,
+    # which sits in whatever cell it maps to) must appear when probed
+    part = SIM.ivf_topk(df, q, k=5, n_cells=8, n_probe=2, centroid_ids=cids)
+    got = [r.vec_id for r in part.collect()]
+    assert len(got) == 5 and got[0] == 5
+
+
+def test_ivf_write_probe_matches_recompute_and_prunes(spark, tmp_path):
+    """The materialized IVF index (cell-partitioned parquet + stored
+    centroids) must (a) return exactly what recomputing assignments with
+    the same centroids returns, (b) PRUNE non-probed cell partitions at
+    the scan — the 100 TB shape ivf_topk's docstring promises."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((300, 16)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in base[9]]
+    cids = list(range(1, 9))
+
+    path = str(tmp_path / "ivf_index")
+    SIM.ivf_write(df, path, n_cells=8, centroid_ids=cids)
+
+    probe = SIM.ivf_probe(spark, path, q, k=6, n_probe=3)
+    recompute = SIM.ivf_topk(df, q, k=6, n_cells=8, n_probe=3, centroid_ids=cids)
+    assert [(r.vec_id, r.cos_sim) for r in probe.collect()] == [
+        (r.vec_id, r.cos_sim) for r in recompute.collect()
+    ]
+
+    # partition pruning: the cell filter must land in PartitionFilters
+    # (pruned at planning — whole directories skipped), NOT DataFilters.
+    # (inputFiles() reflects the pre-pruning file index, so the plan is
+    # the evidence, as in tests/test_plans.py.)
+    import json
+    import os
+
+    cents = np.asarray(
+        json.load(open(os.path.join(path, "_ivf_centroids.json"))), dtype=np.float64
+    )
+    qv = np.asarray(q, dtype=np.float64)
+    probed = sorted(
+        int(c) for c in (((cents - qv[None, :]) ** 2).sum(1)).argsort()[:3]
+    )
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    assert "DataFilters: []" in plan, plan
+
+
+def test_minhash_signature_per_perm_seeds(spark):
+    """Regression (r3): F.transform passes the ARRAY INDEX to two-parameter
+    lambdas, so a `lambda s, i=i` seed-binding silently hashed with the
+    element position — every permutation identical. The signature must
+    equal an independent per-permutation computation in BOTH hash modes."""
+    import hashlib
+
+    from jsonschema_infer_spark.functions.xxh64 import (
+        to_signed,
+        xxh64_bytes,
+        xxh64_int32,
+    )
+
+    toks = ["alpha", "beta", "gamma", "delta"]
+    df = spark.createDataFrame([(toks,)], "arr array<string>")
+
+    sig_md5 = df.select(D.minhash_signature(F.col("arr"), 4, "md5").alias("s")).collect()[0].s
+    exp_md5 = [
+        min(int(hashlib.md5(f"{t}:{i}".encode()).hexdigest()[:15], 16) for t in toks)
+        for i in range(4)
+    ]
+    assert sig_md5 == exp_md5
+
+    sig_xx = df.select(D.minhash_signature(F.col("arr"), 4).alias("s")).collect()[0].s
+    exp_xx = [
+        min(to_signed(xxh64_int32(i, xxh64_bytes(t.encode()))) for t in toks)
+        for i in range(4)
+    ]
+    assert sig_xx == exp_xx
+    # permutations must actually differ (the bug made them all identical)
+    assert len(set(sig_xx)) > 1 and len(set(sig_md5)) > 1

@@ -82,3 +82,11 @@ def test_downsample_deterministic_subset(spark):
     assert smaller <= kept
     with pytest.raises(ValueError):
         downsample(df, "k", 0.0)
+
+
+def test_hash_split_rejects_over_unit_fractions(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to <= 1"):
+        hash_split(df, "k", {"a": 0.8, "b": 0.3})
+    # exactly 1 (with fp-safe fsum) stays legal
+    hash_split(df, "k", {"a": 0.5, "b": 0.3, "c": 0.2})

@@ -118,3 +118,38 @@ def test_psi_numeric_pinned_bounds_stable_buckets(snaps):
     pinned = psi_numeric(a, b, F.length("text"), bins=16, lo=0.0, hi=4000.0)
     assert {r.bucket for r in auto.collect()} <= set(range(16))
     assert {r.bucket for r in pinned.collect()} <= set(range(16))
+
+
+def test_exact_ks_cardinality_guard(spark):
+    """mode='exact' sorts DISTINCT values through one global window — above
+    max_exact_distinct it must auto-switch to the histogram path instead of
+    silently serial-sorting (the returned mode says what ran)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 5000).select((F.col("id") * 1.0).alias("v"))
+    b = spark.range(0, 5000).select((F.col("id") * 1.0 + 0.25).alias("v"))
+    out = numeric_drift(a, b, "v", mode="exact", max_exact_distinct=100)
+    assert out["mode"] == "hist"
+    forced = numeric_drift(a, b, "v", mode="exact", max_exact_distinct=None)
+    assert forced["mode"] == "exact"
+    # low-cardinality exact stays exact under the default guard
+    la = spark.range(0, 1000).select((F.col("id") % 7 * 1.0).alias("v"))
+    lb = spark.range(0, 1000).select((F.col("id") % 5 * 1.0).alias("v"))
+    assert numeric_drift(la, lb, "v", mode="exact")["mode"] == "exact"
+
+
+def test_psi_numeric_pinned_lo_clamps_low_values(spark):
+    """With explicitly pinned lo, values BELOW lo must collapse into bucket
+    0 the way values past hi collapse into bins-1 (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_infer_spark.operators.drift import psi_numeric
+
+    a = spark.createDataFrame([(-50.0,), (0.5,), (1.5,), (99.0,)], "v double")
+    b = spark.createDataFrame([(0.5,), (3.5,)], "v double")
+    rows = psi_numeric(a, b, F.col("v"), bins=4, lo=0.0, hi=4.0).collect()
+    buckets = {r.bucket: (r.n_a, r.n_b) for r in rows}
+    assert set(buckets) <= {0, 1, 2, 3}
+    # -50 collapsed into bucket 0 alongside 0.5; 99 into bucket 3
+    assert buckets[0][0] == 2
+    assert buckets[3][0] == 1
