@@ -114,16 +114,25 @@ def wait_healthy(max_wait_s: float = 600.0) -> tuple:
     return gbps, burn
 
 
-def _copy_worker(size_mb: int) -> float:
+_PROBE_ARR = None
+
+
+def _probe_init(size_mb: int) -> None:
+    """Pool initializer: allocate + pre-fault each worker's source array
+    OUTSIDE the timed region, so the timed copy carries the same traffic
+    mix as memcpy_gbps' steady-state reps (copy + dest faults only)."""
+    global _PROBE_ARR
     import numpy as np
 
-    a = np.zeros(size_mb * 1024 * 1024 // 8)
-    a += 1.0  # pre-fault the source pages: time copy + dest faults only,
-    # the same traffic mix as memcpy_gbps' steady-state reps
+    _PROBE_ARR = np.zeros(size_mb * 1024 * 1024 // 8)
+    _PROBE_ARR += 1.0
+
+
+def _copy_worker(_) -> float:
     t = time.time()
-    b = a.copy()
+    b = _PROBE_ARR.copy()
     dt = time.time() - t
-    del a, b
+    del b
     return dt
 
 
@@ -132,15 +141,16 @@ def parallel_memcpy_gbps(procs: int, size_mb: int = 256, reps: int = 3) -> float
     how much wider the one memory bus gets when threads multiply. The
     (bw_4N / bw_N) / 4 ratio is the hard ceiling for any memory-bound
     job's N->4N scaling efficiency on this host (bench_scaling.py reports
-    it next to the measured pair)."""
+    it next to the measured pair). Wall-times the concurrent map of pure
+    copies (sources pre-faulted in the pool initializer)."""
     import multiprocessing as mp
 
     best = 1e9
-    with mp.Pool(procs) as p:
-        p.map(_burn, range(procs))  # warm the pool
+    with mp.Pool(procs, initializer=_probe_init, initargs=(size_mb,)) as p:
+        p.map(_copy_worker, range(procs), chunksize=1)  # warm pool + pages
         for _ in range(reps):
             t0 = time.time()
-            p.map(_copy_worker, [size_mb] * procs)
+            p.map(_copy_worker, range(procs), chunksize=1)
             best = min(best, time.time() - t0)
     return round(procs * size_mb / 1024.0 / best, 2)
 

@@ -7,8 +7,14 @@
   by an Arrow-vectorized pandas UDF (one numpy matmul per batch), bucket
   join on signature bands, exact cosine verification of candidates — the
   scale path for all-pairs similarity (never materializes N^2).
+- Exact all-pairs: blocked cogroup self-join (one BLAS matmul per
+  unordered block pair, no driver collect, executor memory bounded by the
+  block size) — the distributed shape for the inherently O(N^2) baseline.
 - IVF-style search: k-means-lite coarse centroids (seeded sample, driver
-  numpy), probe nearest cells only — the scale path for query top-k.
+  numpy) or deterministic row-centroids, probe nearest cells only — the
+  scale path for query top-k; ivf_write/ivf_probe materialize the index
+  cell-partitioned so probes prune partitions instead of recomputing
+  assignments.
 """
 
 from __future__ import annotations
@@ -123,6 +129,13 @@ def cosine_pairs_exact(
 
     Values are bit-comparable with the SQL oracle after round(4): both
     sides normalize then dot (one dgemm per block pair)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"cosine_pairs_exact requires an integral id column (the "
+            f"min/max pair orientation needs an ordered numeric id), got "
+            f"{id_type}"
+        )
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
