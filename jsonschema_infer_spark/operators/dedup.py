@@ -113,13 +113,17 @@ def ngram_jaccard_pairs(
     )
     sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:
-        freq_ok = (
+        # the DROP list (stop-shingles over the cap) is tiny by
+        # construction — broadcast anti-join it, instead of inner-joining
+        # the full keep-list back onto the index (which re-shuffles the
+        # whole inverted index; measured 2x on the exploratory bench query)
+        stop = (
             inv.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_freq"))
-            .filter(F.col("df_freq") <= max_shingle_freq)
+            .filter(F.col("df_freq") > max_shingle_freq)
             .select("shingle")
         )
-        inv_j = inv.join(freq_ok, "shingle", "inner")
+        inv_j = inv.join(F.broadcast(stop), "shingle", "left_anti")
     else:
         inv_j = inv
     # join payload is (shingle, id) only — sizes come back via two joins

@@ -114,7 +114,8 @@ def cosine_pairs_exact(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    rows_per_block: int = 8192,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold, fully distributed: the classic
     blocked self-join. Rows are hashed into ``n_blocks`` blocks; every
@@ -125,10 +126,17 @@ def cosine_pairs_exact(
     O(N^2/2) because exact all-pairs is; lsh_cosine_pairs is the
     subquadratic path when a threshold-based candidate filter is
     acceptable). Each row is replicated n_blocks times into the shuffle,
-    so pick n_blocks ~ sqrt(cluster cores) at scale.
+    so more blocks than needed is pure overhead: the default sizes
+    n_blocks from a count so each block holds ~``rows_per_block`` vectors
+    (pass n_blocks explicitly to skip the count or to match executor
+    memory at scale).
 
     Values are bit-comparable with the SQL oracle after round(4): both
     sides normalize then dot (one dgemm per block pair)."""
+    if n_blocks is None:
+        import math
+
+        n_blocks = max(1, math.ceil(df.count() / rows_per_block))
     id_type = df.schema[id_col].dataType.simpleString()
     if id_type not in ("bigint", "int", "smallint", "tinyint"):
         raise ValueError(
