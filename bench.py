@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "docs_split_profile",
     "embeddings_topk",
     "embeddings_cos_pairs",
+    "embeddings_lsh_pairs",
+    "embeddings_ivf_topk",
     "minhash_dups_docs",
     "simhash_near_docs",
     "infer_events_schema",
