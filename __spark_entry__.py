@@ -1442,15 +1442,25 @@ def q_embeddings_lsh_pairs(spark, sf_dir):
     random-hyperplane LSH bucketing -> band-join candidates -> exact
     cosine verify. Oracled via a signature table an independent numpy
     path materializes (_lsh_gauss_sigs_path): DuckDB replays banding +
-    verification from it, so the compare covers the full pipeline."""
+    verification from it, so the compare covers the full pipeline.
+
+    Banding is sized for SELECTIVITY: 8 bands x 8 bits. A random pair
+    (sim ~ 0) collides per band with p = 2^-8, so candidates ~= 8 * n^2 /
+    512 — bounded buckets, never all-pairs (16 planes / 2-bit bands, the
+    old shape, admitted ~every pair: 2M candidates and a 14 s verify at
+    sf0.1). The trade is recall at this moderate threshold (sign-LSH
+    per-bit agreement at cos 0.4 is only 0.63, so 8-bit bands recall
+    ~18% here; at production near-dup thresholds >= 0.85 the same
+    banding recalls >= 90%) — the oracle replays the identical banding,
+    so the approximation itself is what's verified."""
     from jsonschema_infer_spark.operators.similarity import lsh_cosine_pairs
 
     df = _load(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(df, threshold=0.4, n_planes=16, bands=8, seed=42)
+    return lsh_cosine_pairs(df, threshold=0.4, n_planes=64, bands=8, seed=42)
 
 
 def _sql_embeddings_lsh_pairs(
-    n_planes: int = 16, bands: int = 8, threshold: float = 0.4
+    n_planes: int = 64, bands: int = 8, threshold: float = 0.4
 ) -> str:
     """Mirror of lsh_cosine_pairs(plane_fn='gauss'): signatures from the
     independently-computed parquet (same seeded planes, numpy float64

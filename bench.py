@@ -207,9 +207,12 @@ def run_transcript_pipeline(spark, path: str) -> dict:
     }
 
 
-def run_suite(spark, qs, sf_dir: str, n_convs: int, reps: int) -> tuple:
+def run_suite(
+    spark, qs, sf_dir: str, n_convs: int, reps: int, pipe_reps: int
+) -> tuple:
     """One pass over the headline queries (best of ``reps`` timed runs
-    each, after one warm-up) plus the transcript pipeline (best of 2)."""
+    each, after one warm-up) plus the transcript pipeline (one untimed
+    warm-up, then best of ``pipe_reps``)."""
     timings: dict = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
@@ -225,10 +228,18 @@ def run_suite(spark, qs, sf_dir: str, n_convs: int, reps: int) -> tuple:
         timings[name] = round(best, 3)
 
     tx_path = ensure_bench_transcripts(n_convs)
-    pipe = run_transcript_pipeline(spark, tx_path)
-    pipe2 = run_transcript_pipeline(spark, tx_path)
-    if pipe2["turns_per_sec"] > pipe["turns_per_sec"]:
-        pipe = pipe2
+    # The pipeline's warm-up curve is long (cold page-cache parquet scan,
+    # codegen, Python-worker fork: rep0 runs 6-10x slower than steady
+    # state, and reps keep improving through ~rep3) — measured 9.9s ->
+    # 1.68 -> 1.49 -> 1.41 -> 1.0s on the 1.84M-row table. One untimed
+    # warm-up plus best-of-N reports the steady-state rate a long-running
+    # cluster sees, matching how the queries above are measured.
+    run_transcript_pipeline(spark, tx_path)  # warm-up, untimed
+    pipe: dict = {}
+    for _ in range(pipe_reps):
+        p = run_transcript_pipeline(spark, tx_path)
+        if not pipe or p["turns_per_sec"] > pipe["turns_per_sec"]:
+            pipe = p
     timings["transcript_pipeline"] = round(pipe["secs"], 3)
     return timings, pipe
 
@@ -238,6 +249,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "300000"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "2"))
+    pipe_reps = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REPS", "4"))
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
 
     from pyspark.sql import SparkSession
@@ -266,7 +278,7 @@ def main() -> None:
     probes = []
     for attempt in range(max_attempts):
         pre_g, pre_b = wait_healthy()
-        t, p = run_suite(spark, qs, sf_dir, n_convs, reps)
+        t, p = run_suite(spark, qs, sf_dir, n_convs, reps, pipe_reps)
         post_g, post_b, post_ok = probe_health()
         probes.append(
             {"pre_gbps": pre_g, "pre_burn_s": pre_b,
