@@ -441,7 +441,8 @@ def main():
             "inflated by a degraded denominator), and carries a "
             "same-window kernel control corroborating it; the lower "
             "healthy-base median is attributed to host non-stationarity "
-            "by the kernel controls below (median ~1.0)."
+            f"by the kernel controls below (median {_kernel_median(rounds)}, "
+            "at the host's own pure-CPU pair ceiling of 0.9)."
             if claim_eff >= 0.8
             else f"Best healthy 1 -> 4 evidence this run: {claim_eff}. "
             "The gap to 0.8 is ATTRIBUTED, not asserted — see the kernel "
@@ -464,7 +465,9 @@ def main():
             if _kernel_median(rounds)
             else "~1.0-1.2 (measured out-of-band this round)"
         )
-        + " — the engine's data path scales linearly with processes —",
+        + " — the engine's data path scales at the host's own ceiling "
+        "(the stable pure-CPU fixed-work pool pair measures 0.9: no "
+        "code on this VM scales 1->4 much above that) —",
         "while the Spark pair in the same windows has ranged 0.33-0.94.",
         "The delta is the host, not the plan: bare Spark local[1]",
         "throughput flaps 211k-555k turns/s across GREEN-probed windows",
