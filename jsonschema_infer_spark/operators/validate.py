@@ -522,55 +522,83 @@ def _integrity_reduce_split(partials: DataFrame) -> dict:
 
 
 def _merge_partials_local(table) -> dict:
-    """Vectorized driver-side merge of per-conv partials: numpy/pandas
+    """Vectorized driver-side merge of per-conv partials: numpy/arrow
     C-paths instead of a 5M-group Spark ObjectHashAggregate. Partials are
     ~2% of input rows, so this is MBs even for 10^8-turn inputs; beyond
-    that, feed the partials into _integrity_reduce instead."""
+    that, feed the partials into _integrity_reduce instead.
+
+    Two-tier: a conv whose partials all came from ONE map task needs no
+    grouping at all — its per-row (n, mn, mx, ndl) stats ARE the final
+    per-conv stats, so singles are judged with plain row-wise numpy.
+    Under a conv-clustered layout that is ~99% of the rows (only
+    task-boundary stragglers + hot convs straddle tasks); only that
+    small remainder pays dictionary encoding and the exact turn-set
+    union. The previous form dictionary-encoded and bincounted ALL
+    partial rows (five 5M-element passes), making this driver merge a
+    ~10 s serial stage that capped measured scaling — Amdahl, not the
+    host (kernel controls never saw it: they time the map side only).
+    Now ~2 s at 5M convs: one value_counts + one is_in hash pass over
+    the conv strings, row-wise numpy for singles, tiny exact path."""
     import numpy as np
-    import pandas as pd
 
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     if table.num_rows == 0:
         return {"dup_rows_excess": 0, "ordering_violations": 0}
-    def _one_chunk(col):
-        col = col.combine_chunks()
-        return col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
 
-    # Keep every column at its native width (conv codes int32, mn/mx int32,
-    # n/ndl int64): to_numpy on null-free arrow arrays is zero-copy, and
-    # numpy promotes in the ufuncs below — no whole-column astype copies.
-    codes_arr = _one_chunk(table.column("conv")).dictionary_encode()
-    codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+    conv = table.column("conv").combine_chunks()
+    vc = pc.value_counts(conv)
+    dup_vals = vc.field("values").filter(pc.greater(vc.field("counts"), 1))
+
+    # Native widths throughout (mn/mx int32, n/ndl int64): to_numpy on
+    # null-free arrow arrays is zero-copy; numpy promotes in the ufuncs.
     n = table.column("n").to_numpy(zero_copy_only=False)
     mn_r = table.column("mn").to_numpy(zero_copy_only=False)
     mx_r = table.column("mx").to_numpy(zero_copy_only=False)
-    turns_col = _one_chunk(table.column("turns"))
+    turns_col = table.column("turns").combine_chunks()
     if "ndl" in table.schema.names:
         ndl = table.column("ndl").to_numpy(zero_copy_only=False)
     else:
         ndl = np.diff(turns_col.offsets.to_numpy())
 
-    G = int(codes.max()) + 1
-    n_turns = np.bincount(codes, weights=n, minlength=G).astype(np.int64)
-    parts = np.bincount(codes, minlength=G)
-    mn = np.full(G, np.iinfo(np.int64).max)
-    np.minimum.at(mn, codes, mn_r)
-    mx = np.full(G, np.iinfo(np.int64).min)
-    np.maximum.at(mx, codes, mx_r)
+    if len(dup_vals):
+        multi = pc.is_in(conv, value_set=dup_vals).to_numpy(
+            zero_copy_only=False
+        )
+    else:
+        multi = np.zeros(len(n), dtype=bool)
+    single = ~multi
 
-    # a conv whose partials all came from ONE map task needs no union: its
-    # local distinct count is exact. Only multi-part convs (task-boundary
-    # stragglers + hot convs — tens, not millions, under clustered layout)
-    # pay the exact union, which otherwise re-deduplicates every turn of
-    # every conversation on the driver.
-    n_distinct = np.bincount(codes, weights=ndl, minlength=G).astype(np.int64)
-    multi_rows = np.flatnonzero(parts[codes] > 1)
-    if len(multi_rows):
-        sub = turns_col.take(pa.array(multi_rows))
+    # Single-part convs: the row is the conv. Dense 0..n-1 ordering holds
+    # iff mn == 0, mx == distinct-1, and no duplicate turn values.
+    dup_excess = int((n[single] - ndl[single]).sum())
+    bad = int(
+        (
+            (mn_r[single] != 0)
+            | (mx_r[single] != ndl[single] - 1)
+            | (ndl[single] != n[single])
+        ).sum()
+    )
+
+    if multi.any():
+        rows = np.flatnonzero(multi)
+        codes = (
+            pc.dictionary_encode(conv.take(pa.array(rows)))
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        G = int(codes.max()) + 1
+        n_turns = np.bincount(codes, weights=n[rows], minlength=G).astype(
+            np.int64
+        )
+        mn = np.full(G, np.iinfo(np.int64).max)
+        np.minimum.at(mn, codes, mn_r[rows])
+        mx = np.full(G, np.iinfo(np.int64).min)
+        np.maximum.at(mx, codes, mx_r[rows])
+        sub = turns_col.take(pa.array(rows))
         lens = np.diff(sub.offsets.to_numpy())
         flat = sub.flatten().to_numpy(zero_copy_only=False)
-        rep = np.repeat(codes[multi_rows].astype(np.int64, copy=False), lens)
+        rep = np.repeat(codes.astype(np.int64, copy=False), lens)
         # exact distinct per conv via one composite-key unique. The +2^31
         # bias maps any int32 turn value into [0, 2^32), so the >>32 code
         # recovery is exact even for negative turn indices (without it a
@@ -579,15 +607,15 @@ def _merge_partials_local(table) -> dict:
             flat.astype(np.int64, copy=False) + np.int64(1 << 31)
         )
         ukey = np.unique(key)
-        nd_multi = np.bincount(ukey >> np.int64(32), minlength=G)
-        touched = parts > 1
-        n_distinct[touched] = nd_multi[touched]
+        n_distinct = np.bincount(ukey >> np.int64(32), minlength=G)
+        dup_excess += int((n_turns - n_distinct).sum())
+        bad += int(
+            (
+                (mn != 0) | (mx != n_distinct - 1) | (n_distinct != n_turns)
+            ).sum()
+        )
 
-    bad = (mn != 0) | (mx != n_distinct - 1) | (n_distinct != n_turns)
-    return {
-        "dup_rows_excess": int((n_turns - n_distinct).sum()),
-        "ordering_violations": int(bad.sum()),
-    }
+    return {"dup_rows_excess": dup_excess, "ordering_violations": bad}
 
 
 def transcript_integrity_parquet(
