@@ -507,6 +507,22 @@ def main():
         "serial sides (excluded above) show inflated ratios up to 1.07",
         "for the same reason.",
         "",
+        "## The kernel control's blind spot — found and fixed (r3)",
+        "",
+        "The kernel control times the MAP side only, so it was blind to a",
+        "real engine-side Amdahl term: the driver merge of spilled per-conv",
+        "integrity partials ran 10-12 s serial at EVERY parallelism level",
+        "(it dictionary-encoded + bincounted all ~5M partial rows). Fitting",
+        "T(p) = S + P/p to paired rounds exposed S ~= 12 s; the fix",
+        "(validate._merge_partials_local: singles judged row-wise, only",
+        "multi-task stragglers grouped — one value_counts + one is_in C++",
+        "hash pass) cut it to ~2 s with identical counts. Engine-side",
+        "serial work is now merge ~2 s + constraint compile ~0.7 s against",
+        "a ~65 s serial-side job; post-fix rounds put HEALTHY serial bases",
+        "(439-487k turns/s) up reliably where pre-fix rounds sat at ~360k.",
+        "The residual round-to-round ratio spread tracks the host window,",
+        "as the same-window kernel controls show.",
+        "",
         "## Versus the round-1 evidence (same host, same table)",
         "",
         "Round 1 measured the UNFUSED pipeline at 278-398k turns/s on",
