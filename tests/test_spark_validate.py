@@ -175,6 +175,61 @@ def test_merge_partials_local_negative_turns():
     assert got == {"dup_rows_excess": 1, "ordering_violations": 1}
 
 
+def test_merge_partials_local_two_tier_vs_bruteforce():
+    """The single-part fast path (rows judged without grouping) and the
+    multi-part exact path agree with a per-conv brute force on every
+    violation class: clean single, dup single, offset start, gapped
+    range, clean 2-part split, 3-part split with cross-part duplicate
+    turns, and the empty table."""
+    import pyarrow as pa
+
+    convs = {
+        "clean_single": [[0, 1, 2]],
+        "dup_single": [[0, 1, 1, 2]],       # n=4 nd=3
+        "offset_single": [[1, 2, 3]],       # mn != 0
+        "gap_single": [[0, 2]],             # mx != nd-1
+        "clean_multi": [[0, 1, 2], [3, 4, 5]],
+        "dupx_multi": [[0, 1, 2], [2, 3], [3, 4, 5]],  # dups across parts
+    }
+    rows = {"conv": [], "n": [], "mn": [], "mx": [], "ndl": [], "turns": []}
+    for conv, parts in convs.items():
+        for part in parts:
+            uniq = sorted(set(part))
+            rows["conv"].append(conv)
+            rows["n"].append(len(part))
+            rows["mn"].append(min(part))
+            rows["mx"].append(max(part))
+            rows["ndl"].append(len(uniq))
+            rows["turns"].append(uniq)
+    partials = pa.table(
+        {
+            "conv": rows["conv"],
+            "n": pa.array(rows["n"], type=pa.int64()),
+            "mn": pa.array(rows["mn"], type=pa.int32()),
+            "mx": pa.array(rows["mx"], type=pa.int32()),
+            "ndl": pa.array(rows["ndl"], type=pa.int64()),
+            "turns": pa.array(rows["turns"], type=pa.list_(pa.int32())),
+        }
+    )
+    # brute force over the raw per-conv turn multisets
+    dup = bad = 0
+    for parts in convs.values():
+        flat = [t for p in parts for t in p]
+        nd = len(set(flat))
+        dup += len(flat) - nd
+        if min(flat) != 0 or max(flat) != nd - 1 or nd != len(flat):
+            bad += 1
+    got = V._merge_partials_local(partials)
+    assert got == {"dup_rows_excess": dup, "ordering_violations": bad}
+    assert got == {"dup_rows_excess": 3, "ordering_violations": 4}
+
+    empty = partials.slice(0, 0)
+    assert V._merge_partials_local(empty) == {
+        "dup_rows_excess": 0,
+        "ordering_violations": 0,
+    }
+
+
 def test_referential_violations(spark):
     child = spark.createDataFrame(
         [(1, "a"), (1, "b"), (2, "c"), (7, "d"), (7, "e"), (7, "f"), (None, "g")],
