@@ -249,7 +249,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "300000"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
-    pipe_reps = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REPS", "4"))
+    pipe_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REPS", "4")))
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
 
     from pyspark.sql import SparkSession
