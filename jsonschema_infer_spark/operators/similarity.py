@@ -161,23 +161,29 @@ def cosine_pairs_exact(
         "id",
         "v",
     )
+    # the right side renames id/v: both sides derive from `base`, so bare
+    # "id"/"v" references would carry the SAME attribute ids on both
+    # children — Catalyst's column pruning then satisfies the cogroup's
+    # input requirement from the left child alone and prunes the right
+    # child to its grouping keys whenever the UDF output itself is unused
+    # (e.g. a count()-only plan), handing the UDF a keys-only frame
     right = base.select(
         F.explode(F.filter(js, lambda j: j <= F.col("b"))).alias("bi"),
         F.col("b").alias("bj"),
-        "id",
-        "v",
+        F.col("id").alias("rid"),
+        F.col("v").alias("rv"),
     )
 
     def block(key, lpdf, rpdf):
         if len(lpdf) == 0 or len(rpdf) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
         A = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["v"].to_numpy()])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["v"].to_numpy()])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["rv"].to_numpy()])
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
         sims = np.round(An @ Bn.T, 4)
         a_ids = lpdf["id"].to_numpy().astype(np.int64)
-        b_ids = rpdf["id"].to_numpy().astype(np.int64)
+        b_ids = rpdf["rid"].to_numpy().astype(np.int64)
         mask = sims >= threshold
         if key[0] == key[1]:
             # diagonal block: both sides hold the same set — keep each

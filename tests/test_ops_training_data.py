@@ -551,6 +551,14 @@ def test_cosine_pairs_exact_blocked_matches_bruteforce(spark):
             if S[i, j] >= thr
         }
         assert got == exp, (thr, blocks)
+        # a count()-only plan must agree too: Catalyst prunes the cogroup's
+        # right child to its grouping keys when the UDF output is unused
+        # and both children share attribute ids (the left/right frames both
+        # derive from one projection) — the operator renames the right
+        # side's data columns so pruning can't starve the UDF of its input
+        assert SIM.cosine_pairs_exact(df, thr, n_blocks=blocks).count() == len(
+            exp
+        ), (thr, blocks)
 
 
 def test_ivf_topk_deterministic_row_centroids(spark):
