@@ -1257,8 +1257,8 @@ def q_docs_jaccard_capped(spark, sf_dir):
     """The bounded-contract form of n-gram Jaccard dedup: the stop-shingle
     cap (max_shingle_freq) bounds the inverted-index self-join fan-out —
     the shape that stays linear-ish at 100 TB — and a real threshold
-    prunes output. docs_top_jaccard remains the uncapped exploratory
-    top-k; this is the form a production dedup pass runs."""
+    prunes output. docs_top_jaccard is the exploratory top-k twin (looser
+    cap, zero threshold); this is the form a production dedup pass runs."""
     from jsonschema_infer_spark.operators.dedup import ngram_jaccard_pairs
 
     df = _load(spark, sf_dir, "documents")
