@@ -279,6 +279,12 @@ def main():
                 "tp1": r1["turns_per_sec"],
                 "tp4": r4["turns_per_sec"],
                 "eff": round(eff, 3),
+                # per-stage wall times from both sides: lets the report
+                # attribute WHERE a low round lost its ratio (fused scan vs
+                # constraint compile vs the violations pass) instead of
+                # treating the job as one opaque number
+                "stages1": r1.get("stage_secs"),
+                "stages4": r4.get("stage_secs"),
                 **kern,
             }
         )
@@ -437,6 +443,37 @@ def main():
         f"(of {len(rounds)}): median **{paired['median_eff']}**, "
         f"best **{paired['best_eff']}**.",
         "",
+    ]
+    staged = [
+        r
+        for r in rounds
+        if r["healthy_base"] and r.get("stages1") and r.get("stages4")
+    ]
+    if staged:
+        import statistics as _st
+
+        stage_lines = []
+        for s in ("infer+integrity", "compile", "violations"):
+            effs = [
+                round((r["stages1"][s] / r["stages4"][s]) / 4.0, 3)
+                for r in staged
+                if r["stages4"].get(s)
+            ]
+            t1m = _st.median(r["stages1"][s] for r in staged)
+            if effs:
+                stage_lines.append(
+                    f"{s} {_st.median(effs)} (median t1 {round(t1m, 1)}s)"
+                )
+        lines += [
+            "Per-stage 1 -> 4 efficiency (median over healthy-base rounds "
+            f"carrying stage timings, n={len(staged)}): "
+            + "; ".join(stage_lines)
+            + ". This splits a low round's loss between the fused scan, "
+            "the fixed-cost constraint compile, and the violations pass "
+            "instead of treating the job as one opaque ratio.",
+            "",
+        ]
+    lines += [
         (
             f"**The N -> 4N criterion (>= 0.8) is met at {claim_eff} on the "
             "1 -> 4 pair** — the pair whose 4x parallel capacity this VM "
