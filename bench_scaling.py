@@ -322,7 +322,19 @@ def main():
         [r["tp1"] for r in rounds] + [results[pn]["turns_per_sec"]]
     )
     for r in rounds:
-        r["healthy_base"] = r["tp1"] >= 0.75 * ref_tp1 and r["eff"] <= 1.0
+        # a paired round is only evidence when BOTH sides ran the same
+        # code: an engine edit landing between the local[1] and local[4]
+        # runs of one round skews the ratio in whichever direction the
+        # edit went. Detectable from the stage keys (the integrity-overlap
+        # rollout added "integrity_wait"): sides disagreeing on the key
+        # set ran different code.
+        s1, s4 = r.get("stages1"), r.get("stages4")
+        r["mixed_code"] = bool(s1 and s4 and set(s1) != set(s4))
+        r["healthy_base"] = (
+            r["tp1"] >= 0.75 * ref_tp1
+            and r["eff"] <= 1.0
+            and not r["mixed_code"]
+        )
     valid = [r["eff"] for r in rounds if r["healthy_base"]]
     valid.sort()
     paired = {
@@ -426,7 +438,12 @@ def main():
         "|---|---|---|---|---|---|",
     ]
     for i, r in enumerate(rounds, 1):
-        flag = "yes" if r["healthy_base"] else "no (slow local[1] side)"
+        if r["healthy_base"]:
+            flag = "yes"
+        elif r.get("mixed_code"):
+            flag = "no (code changed between the round's two sides)"
+        else:
+            flag = "no (slow local[1] side)"
         lines.append(
             f"| {i} | {r['tp1']:,} | {r['tp4']:,} | {r['eff']} | "
             f"{r.get('kernel_eff', '—')} | {flag} |"
@@ -464,6 +481,16 @@ def main():
                 stage_lines.append(
                     f"{s} {_st.median(effs)} (median t1 {round(t1m, 1)}s)"
                 )
+        waits = [
+            r["stages4"]["integrity_wait"]
+            for r in staged
+            if "integrity_wait" in r["stages4"]
+        ]
+        if waits:
+            stage_lines.append(
+                "residual integrity wait after overlap "
+                f"{_st.median(waits)}s at local[4]"
+            )
         lines += [
             "Per-stage 1 -> 4 efficiency (median over healthy-base rounds "
             f"carrying stage timings, n={len(staged)}): "

@@ -115,16 +115,28 @@ def infer_and_integrity_parquet(
     spill_dir: str | None = None,
     distinct_strategy: str = "auto",
     local_merge_max_bytes: int = 256 << 20,
+    integrity: str = "eager",
 ) -> tuple:
     """Fused scan: returns ``(InferResult, integrity_dict)`` where the
     InferResult equals ``infer_parquet(spark, path, config, ...)`` and the
     dict equals ``transcript_integrity_native(spark, path, ...)`` — one
     data pass instead of two.
 
+    ``integrity="background"`` returns ``(InferResult, Future)`` instead:
+    the spilled-partials reduce — a driver-side cost that needs nothing
+    from the caller — runs on a worker thread while the caller proceeds
+    (typically compiling constraints and launching the violations pass,
+    which only need the InferResult). ``Future.result()`` yields the same
+    dict as the eager form. On a real cluster the driver is its own
+    machine, so this overlap is free hardware; serializing the reduce
+    before downstream Spark jobs was a pure Amdahl term.
+
     ``max_samples`` is not supported here (a row budget caps inference but
     integrity must still see every row — the two folds would need
     different scans, defeating the fusion); use the standalone operators
     for that configuration."""
+    if integrity not in ("eager", "background"):
+        raise ValueError(f"integrity must be 'eager' or 'background', got {integrity!r}")
     config = config or default_config()
     if config.max_samples > 0:
         raise ValueError(
@@ -152,6 +164,7 @@ def infer_and_integrity_parquet(
             f, lo, hi, config, conv_col, idx_col, out_dir, i, order_cols
         )
 
+    cleanup_owned_by_future = False
     try:
         rdd = spark.sparkContext.parallelize(
             list(enumerate(tasks)), max(len(tasks), 1)
@@ -176,10 +189,28 @@ def infer_and_integrity_parquet(
             partitions=[(i, 0, 0.0) for i in range(len(tasks))],
             wall_secs=time.time() - t0,
         )
+        if integrity == "background":
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(1)
+
+            def _reduce_then_cleanup():
+                try:
+                    return reduce_spilled_partials(
+                        spark, out_dir, distinct_strategy, local_merge_max_bytes
+                    )
+                finally:
+                    if spill_dir is None:
+                        shutil.rmtree(out_dir, ignore_errors=True)
+
+            fut = pool.submit(_reduce_then_cleanup)
+            pool.shutdown(wait=False)  # thread finishes; submit no more
+            cleanup_owned_by_future = True
+            return res, fut
         integ = reduce_spilled_partials(
             spark, out_dir, distinct_strategy, local_merge_max_bytes
         )
         return res, integ
     finally:
-        if spill_dir is None:
+        if spill_dir is None and not cleanup_owned_by_future:
             shutil.rmtree(out_dir, ignore_errors=True)

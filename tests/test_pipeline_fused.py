@@ -39,6 +39,25 @@ def test_fused_matches_standalone_on_clean(spark, tx_paths):
     assert integ == {"dup_rows_excess": 0, "ordering_violations": 0}
 
 
+def test_fused_background_integrity_matches_eager(spark, tx_paths):
+    """integrity='background' returns (res, Future); the resolved dict and
+    the InferResult are value-identical to the eager form, the spill dir
+    is cleaned up after resolution, and a bad mode is refused."""
+    want_res, want_integ = infer_and_integrity_parquet(
+        spark, tx_paths["viol"], rg_per_task=1
+    )
+    res, fut = infer_and_integrity_parquet(
+        spark, tx_paths["viol"], rg_per_task=1, integrity="background"
+    )
+    assert res.schema_json == want_res.schema_json
+    assert res.total_rows == want_res.total_rows
+    assert fut.result(timeout=120) == want_integ
+    with pytest.raises(ValueError):
+        infer_and_integrity_parquet(
+            spark, tx_paths["viol"], integrity="later"
+        )
+
+
 def test_fused_distributed_reduce_matches(spark, tx_paths):
     # force the distributed split reduce (zero local-merge budget): same dict
     want = V.transcript_integrity_native(spark, tx_paths["viol"], rg_per_task=1)
