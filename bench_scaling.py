@@ -461,6 +461,32 @@ def main():
         f"best **{paired['best_eff']}**.",
         "",
     ]
+    # the pool spans engine versions (the engine improved across rounds);
+    # rounds whose BOTH sides ran the current engine — the one with the
+    # integrity-reduce overlap, detectable from integrity_wait on both
+    # stage dicts — are the claim-relevant subset, since the question is
+    # how the engine AS SHIPPED scales, not how its older builds did
+    current = [
+        r
+        for r in rounds
+        if r["healthy_base"]
+        and r.get("stages1")
+        and r.get("stages4")
+        and "integrity_wait" in r["stages1"]
+        and "integrity_wait" in r["stages4"]
+    ]
+    if current:
+        import statistics as _st
+
+        cur_effs = sorted(r["eff"] for r in current)
+        lines += [
+            f"Over the {len(current)} healthy-base rounds where both sides "
+            "ran the CURRENT engine (with the integrity-reduce overlap — "
+            "older rounds in the pool predate it): median "
+            f"**{round(_st.median(cur_effs), 3)}**, "
+            f"range {cur_effs[0]}-{cur_effs[-1]}.",
+            "",
+        ]
     staged = [
         r
         for r in rounds
