@@ -191,10 +191,14 @@ def run_transcript_pipeline(spark, path: str) -> dict:
     rg_per_task = max(1, min(4, n_rg // (cores * 6)))
     t0 = time.time()
     # fused one-pass scan: inference + integrity partials off the same
-    # native pyarrow row-group read (see operators/pipeline.py)
-    res, integ = infer_and_integrity_parquet(spark, path, rg_per_task=rg_per_task)
+    # native pyarrow row-group read; the driver-side integrity reduce
+    # overlaps the compile + violations stages (see operators/pipeline.py)
+    res, integ_fut = infer_and_integrity_parquet(
+        spark, path, rg_per_task=rg_per_task, integrity="background"
+    )
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
     agg = V.violation_counts(df, cons).collect()
+    integ = integ_fut.result()
     secs = time.time() - t0
     rows = res.total_rows
     return {
