@@ -12,6 +12,12 @@ import json
 import sys
 import time
 
+# bumped on every engine/config change that affects timings: bench_scaling
+# stores it per paired-round side, auto-excludes rounds whose two sides ran
+# different revisions, and scopes the current-engine claim to the max rev.
+# rev 2 = fused scan + background integrity reduce overlap.
+ENGINE_REV = 2
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -87,6 +93,7 @@ def main():
 
     out = {
         "cores": cores,
+        "engine_rev": ENGINE_REV,
         "rows": res.total_rows,
         "secs": round(secs, 3),
         "turns_per_sec": round(res.total_rows / secs, 1),

@@ -285,6 +285,12 @@ def main():
                 # treating the job as one opaque number
                 "stages1": r1.get("stage_secs"),
                 "stages4": r4.get("stage_secs"),
+                # explicit engine revision from the job (see
+                # bench/pipeline_job.ENGINE_REV): lets the mixed-code and
+                # current-engine cuts survive config-only changes that the
+                # stage-key heuristic can't see
+                "rev1": r1.get("engine_rev"),
+                "rev4": r4.get("engine_rev"),
                 **kern,
             }
         )
@@ -329,7 +335,9 @@ def main():
         # rollout added "integrity_wait"): sides disagreeing on the key
         # set ran different code.
         s1, s4 = r.get("stages1"), r.get("stages4")
-        r["mixed_code"] = bool(s1 and s4 and set(s1) != set(s4))
+        r["mixed_code"] = bool(s1 and s4 and set(s1) != set(s4)) or (
+            r.get("rev1") != r.get("rev4")
+        )
         r["healthy_base"] = (
             r["tp1"] >= 0.75 * ref_tp1
             and r["eff"] <= 1.0
@@ -462,18 +470,27 @@ def main():
         "",
     ]
     # the pool spans engine versions (the engine improved across rounds);
-    # rounds whose BOTH sides ran the current engine — the one with the
-    # integrity-reduce overlap, detectable from integrity_wait on both
-    # stage dicts — are the claim-relevant subset, since the question is
-    # how the engine AS SHIPPED scales, not how its older builds did
+    # rounds whose BOTH sides ran the current engine are the
+    # claim-relevant subset, since the question is how the engine AS
+    # SHIPPED scales, not how its older builds did. Revision of a round:
+    # the explicit engine_rev emitted by bench/pipeline_job when present,
+    # else inferred from the stage keys (integrity_wait on both sides =
+    # the overlap build = rev 2; stage data without it = rev 1)
+    def _round_rev(r):
+        if r.get("rev1") is not None and r.get("rev1") == r.get("rev4"):
+            return r["rev1"]
+        s1, s4 = r.get("stages1"), r.get("stages4")
+        if s1 and s4 and "integrity_wait" in s1 and "integrity_wait" in s4:
+            return 2
+        if s1 and s4:
+            return 1
+        return 0
+
+    max_rev = max((_round_rev(r) for r in rounds), default=0)
     current = [
         r
         for r in rounds
-        if r["healthy_base"]
-        and r.get("stages1")
-        and r.get("stages4")
-        and "integrity_wait" in r["stages1"]
-        and "integrity_wait" in r["stages4"]
+        if r["healthy_base"] and max_rev > 0 and _round_rev(r) == max_rev
     ]
     if current:
         import statistics as _st
@@ -481,8 +498,8 @@ def main():
         cur_effs = sorted(r["eff"] for r in current)
         lines += [
             f"Over the {len(current)} healthy-base rounds where both sides "
-            "ran the CURRENT engine (with the integrity-reduce overlap — "
-            "older rounds in the pool predate it): median "
+            f"ran the CURRENT engine (revision {max_rev} — older rounds in "
+            "the pool predate the serial-term fixes): median "
             f"**{round(_st.median(cur_effs), 3)}**, "
             f"range {cur_effs[0]}-{cur_effs[-1]}.",
             "",
