@@ -522,7 +522,8 @@ def main():
             t1m = _st.median(r["stages1"][s] for r in staged)
             if effs:
                 stage_lines.append(
-                    f"{s} {_st.median(effs)} (median t1 {round(t1m, 1)}s)"
+                    f"{s} {round(_st.median(effs), 3)} "
+                    f"(median t1 {round(t1m, 1)}s)"
                 )
         waits = [
             r["stages4"]["integrity_wait"]
@@ -595,7 +596,10 @@ def main():
             else "0.33-0.94."
         ),
         "The delta is the host, not the plan: bare Spark local[1]",
-        "throughput flaps 211k-555k turns/s across GREEN-probed windows",
+        "throughput flaps {}k-{}k turns/s across GREEN-probed windows".format(
+            int(min(r["tp1"] for r in rounds) / 1000),
+            int(max(r["tp1"] for r in rounds) / 1000),
+        ),
         f"(best {int(tp1_best):,}), while the bare kernel's single-process",
         "rate in the recorded control rounds was "
         + _kernel_rps1_range(rounds)
