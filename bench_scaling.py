@@ -176,25 +176,36 @@ def main():
 
     data = ensure_bench_transcripts(n_convs)
     os.makedirs(os.path.join(REPO, ".cache"), exist_ok=True)
-    cache_path = os.path.join(REPO, ".cache", "scale_results.json")
-
-    # Paired-only mode: reuse the last full run's per-level results and
-    # ceiling probe, run only fresh paired rounds, and accumulate them —
-    # lets later (possibly healthier) host windows improve the headline
-    # evidence without repeating the ~40-minute six-level sweep.
-    paired_only = os.environ.get("SPARK_GRAFT_BENCH_PAIRED_ONLY") == "1"
-    prior_rounds = []
-    if paired_only:
-        with open(cache_path) as f:
-            cached = json.load(f)
-        ceil = {int(k): v for k, v in cached["ceil"].items()}
-        results = {int(k): v for k, v in cached["results"].items()}
-        prior_rounds = cached.get("rounds", [])
+    # Evidence lives in a GIT-TRACKED file: the first 70 rounds were kept
+    # only in .cache/ and a workspace reset wiped them (recovered by
+    # bench/reconstruct_evidence.py from the rendered report). Paired
+    # rounds are expensive host-window samples — they must survive resets.
+    evid_path = os.path.join(REPO, "BENCH", "scale_evidence.json")
+    legacy_path = os.path.join(REPO, ".cache", "scale_results.json")
+    cached = None
+    for p in (evid_path, legacy_path):
+        if os.path.exists(p):
+            with open(p) as f:
+                cached = json.load(f)
+            break
+    # prior paired rounds ALWAYS accumulate (a fresh six-level sweep must
+    # not discard the round pool — each round is one irreplaceable sample
+    # of a host window)
+    prior_rounds = cached.get("rounds", []) if cached else []
+    for r in prior_rounds:
         # scrub bw_ceiling fields recorded by the retired per-round bus
         # probe (its timed region included allocation + pool overhead —
         # values 0.15-1.77 were artifacts, replaced by the kernel control)
-        for r in prior_rounds:
-            r.pop("bw_ceiling", None)
+        r.pop("bw_ceiling", None)
+
+    # Paired-only mode: additionally reuse the last full run's per-level
+    # results and ceiling probe, running only fresh paired rounds — lets
+    # later (possibly healthier) host windows improve the headline
+    # evidence without repeating the six-level sweep.
+    paired_only = os.environ.get("SPARK_GRAFT_BENCH_PAIRED_ONLY") == "1"
+    if paired_only:
+        ceil = {int(k): v for k, v in cached["ceil"].items()}
+        results = {int(k): v for k, v in cached["results"].items()}
     else:
         wait_healthy(1800.0)  # the ceiling probe is a measurement too
         ceil = host_ceiling()
@@ -353,8 +364,11 @@ def main():
         ),
         "best_eff": valid[-1] if valid else None,
     }
-    with open(cache_path, "w") as f:
-        json.dump({"ceil": ceil, "results": results, "rounds": rounds}, f)
+    evid = {"ceil": ceil, "results": results, "rounds": rounds}
+    if cached and cached.get("note"):
+        evid["note"] = cached["note"]
+    with open(evid_path, "w") as f:
+        json.dump(evid, f, indent=1)
     summary = {
         "metric": "turns/sec validated (inference + constraint eval)",
         "rows": results[32]["rows"],
