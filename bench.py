@@ -197,7 +197,8 @@ def run_transcript_pipeline(spark, path: str) -> dict:
         spark, path, rg_per_task=rg_per_task, integrity="background"
     )
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
-    agg = V.violation_counts(df, cons).collect()
+    with V.validation_scan(spark, path) as vdf:
+        agg = V.violation_counts(vdf, cons).collect()
     integ = integ_fut.result()
     secs = time.time() - t0
     rows = res.total_rows

@@ -16,7 +16,9 @@ import time
 # stores it per paired-round side, auto-excludes rounds whose two sides ran
 # different revisions, and scopes the current-engine claim to the max rev.
 # rev 2 = fused scan + background integrity reduce overlap.
-ENGINE_REV = 2
+# rev 3 = tuned validation scan (right-sized splits + AQE off for the
+#         single-agg violations pass — see validate.validation_scan).
+ENGINE_REV = 3
 
 
 def main():
@@ -82,7 +84,11 @@ def main():
     cons = V.compile_constraints(res.schema, state=res.state, df=df)
     t_compile = time.time() - t
     t = time.time()
-    agg = V.violation_counts(df, cons).collect()
+    # tuned single-pass scan: splits sized to ~6 task waves per core and
+    # AQE off for this plan (a global agg has one single-row exchange —
+    # nothing to re-plan; measured 1.4x + outlier-free, validate.py)
+    with V.validation_scan(spark, args.data) as vdf:
+        agg = V.violation_counts(vdf, cons).collect()
     t_viol = time.time() - t
     t = time.time()
     integ = integ_fut.result()

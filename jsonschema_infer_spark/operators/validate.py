@@ -23,6 +23,7 @@ Check taxonomy (SURVEY.md §2.5):
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -224,6 +225,63 @@ def violation_examples(
         ex.withColumn("example_rank", F.row_number().over(w))
         .filter(F.col("example_rank") <= k)
     )
+
+
+@contextmanager
+def validation_scan(
+    spark,
+    path: str,
+    waves: int = 6,
+    min_mpb: int = 16 << 20,
+    max_mpb: int = 128 << 20,
+):
+    """Context manager yielding a DataFrame over ``path`` tuned for ONE
+    full-table validation pass (``violation_counts`` / ``violating_rows``).
+
+    Two session knobs are pinned for the duration (and restored on exit —
+    they are read at ACTION time, so the collect must happen inside the
+    block):
+
+    - ``spark.sql.files.maxPartitionBytes`` sized so the scan yields about
+      ``waves`` tasks per core instead of a fixed small value. Splits far
+      below the parquet row-group size create tasks that decode nothing
+      (a 2.5 GB file with ~11 MB row groups at 8 MiB splits is ~320 tasks,
+      a quarter of them empty) — measured 1.4x slower at local[1] AND
+      local[4] than right-sized splits on the bench table.
+    - ``spark.sql.adaptive.enabled=false``. A whole-table agg has exactly
+      one single-row exchange: AQE has nothing to re-plan, and its final-
+      stage materialization added multi-second driver stalls in ~1/5 of
+      measured runs (steady A/B: 8.3s vs 5.7s at local[1], 2.3s vs 1.7s
+      at local[4], outliers to 10s only ever on the AQE side). Joins and
+      skewed group-bys still want AQE — this pin is scoped to the
+      validation scan only.
+    """
+    import os
+
+    from .infer_spark import list_parquet_files
+
+    files = list_parquet_files(path)
+    # file sizes only (cheap stat, no data read) for the split math
+    total = sum(os.path.getsize(f) for f in files)
+    cores = spark.sparkContext.defaultParallelism
+    mpb = max(min_mpb, min(max_mpb, total // max(cores * waves, 1)))
+    keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.adaptive.enabled")
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(mpb)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield spark.read.parquet(path)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def violation_counts(df: DataFrame, constraints: list) -> DataFrame:

@@ -291,3 +291,36 @@ def test_violation_examples_bounded_and_deterministic(spark):
     assert {(r.constraint, r.example_rank, r.id) for r in again} == {
         (r.constraint, r.example_rank, r.id) for r in rows
     }
+
+
+def test_validation_scan_tunes_and_restores_confs(spark, tx_paths, compiled):
+    """validation_scan pins maxPartitionBytes + disables AQE for the block
+    (read at action time), restores both on exit, and yields a scan whose
+    results equal the untuned path."""
+    res, cons, clean, viol, log = compiled
+    before_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    baseline = {
+        (r.constraint, r.violation_count)
+        for r in V.violation_counts(viol, cons).collect()
+    }
+    with V.validation_scan(spark, tx_paths["viol"]) as vdf:
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        # clamped to [16 MiB, 128 MiB] regardless of file size
+        assert (16 << 20) <= mpb <= (128 << 20)
+        q = V.violation_counts(vdf, cons)
+        # AQE genuinely off for this plan, not just the conf flipped
+        assert "AdaptiveSparkPlan" not in q._jdf.queryExecution().toString()
+        got = {(r.constraint, r.violation_count) for r in q.collect()}
+    assert got == baseline
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before_mpb
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+
+
+def test_validation_scan_restores_confs_on_error(spark, tx_paths):
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    with pytest.raises(RuntimeError, match="boom"):
+        with V.validation_scan(spark, tx_paths["viol"]):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
