@@ -432,9 +432,23 @@ def _integrity_fold(conv_col: str, idx_col: str):
             ]
         )
         turns = g[f"{idx_col}_distinct"].cast(pa.list_(pa.int32()))
+        conv_str = g[conv_col].cast(pa.string())
+        # int64 conv hash, computed HERE (distributed, ~10 ms per task):
+        # the driver merge finds multi-task convs by sorting these ints
+        # instead of hash-aggregating millions of strings twice (measured
+        # 3.4 s of a 6 s serial merge at 5M partials). Deterministic
+        # (siphash, fixed key) and collision-safe by construction: a
+        # collision only routes extra rows into the exact string-keyed
+        # union path, never changes a result.
+        import pandas as _pd
+
+        ch = _pd.util.hash_array(
+            conv_str.to_numpy(zero_copy_only=False).astype(object)
+        ).view("int64")  # same bits; Spark's Arrow bridge lacks uint64
         out = pa.table(
             {
-                "conv": g[conv_col].cast(pa.string()),
+                "conv": conv_str,
+                "ch": pa.array(ch, type=pa.int64()),
                 "n": g[f"{idx_col}_count"].cast(pa.int64()),
                 "mn": g[f"{idx_col}_min"].cast(pa.int32()),
                 "mx": g[f"{idx_col}_max"].cast(pa.int32()),
@@ -477,7 +491,7 @@ def transcript_integrity_summary(
         F.col(idx_col).cast("int").alias(idx_col),
     ).mapInArrow(
         _integrity_fold(conv_col, idx_col),
-        "conv string, n long, mn int, mx int, ndl long, turns array<int>",
+        "conv string, ch long, n long, mn int, mx int, ndl long, turns array<int>",
     )
     return _integrity_reduce(partials, strategy=distinct_strategy)
 
@@ -595,8 +609,14 @@ def _merge_partials_local(table) -> dict:
     partial rows (five 5M-element passes), making this driver merge a
     ~10 s serial stage that capped measured scaling — Amdahl, not the
     host (kernel controls never saw it: they time the map side only).
-    Now ~2 s at 5M convs: one value_counts + one is_in hash pass over
-    the conv strings, row-wise numpy for singles, tiny exact path."""
+    Multi-task detection is keyed on the spilled ``ch`` int64 conv hash
+    when present (one int64 sort + searchsorted, ~0.4 s at 5M partials;
+    hash collisions only route extra rows into the exact path below,
+    which unions by the true conv strings — results are collision-proof).
+    Tables without ``ch`` (older spills, hand-built partials) fall back
+    to two string hash passes (value_counts + is_in, ~3.4 s at 5M). The
+    string and list columns are never chunk-combined for the single-task
+    majority — only the multi subset is gathered."""
     import numpy as np
 
     import pyarrow as pa
@@ -605,45 +625,59 @@ def _merge_partials_local(table) -> dict:
     if table.num_rows == 0:
         return {"dup_rows_excess": 0, "ordering_violations": 0}
 
-    conv = table.column("conv").combine_chunks()
-    vc = pc.value_counts(conv)
-    dup_vals = vc.field("values").filter(pc.greater(vc.field("counts"), 1))
-
     # Native widths throughout (mn/mx int32, n/ndl int64): to_numpy on
     # null-free arrow arrays is zero-copy; numpy promotes in the ufuncs.
     n = table.column("n").to_numpy(zero_copy_only=False)
     mn_r = table.column("mn").to_numpy(zero_copy_only=False)
     mx_r = table.column("mx").to_numpy(zero_copy_only=False)
-    turns_col = table.column("turns").combine_chunks()
     if "ndl" in table.schema.names:
         ndl = table.column("ndl").to_numpy(zero_copy_only=False)
     else:
-        ndl = np.diff(turns_col.offsets.to_numpy())
-
-    if len(dup_vals):
-        multi = pc.is_in(conv, value_set=dup_vals).to_numpy(
-            zero_copy_only=False
+        ndl = np.diff(
+            table.column("turns").combine_chunks().offsets.to_numpy()
         )
+
+    if "ch" in table.schema.names:
+        import pandas as _pd
+
+        ch = table.column("ch").to_numpy(zero_copy_only=False)
+        # one C hash pass marks every row whose conv hash repeats
+        # (Series, not Index: Index.duplicated pays a second full
+        # is_unique hash pass; np.sort+searchsorted measured 0.76 s)
+        multi = _pd.Series(ch).duplicated(keep=False).to_numpy()
     else:
-        multi = np.zeros(len(n), dtype=bool)
-    single = ~multi
+        conv_all = table.column("conv").combine_chunks()
+        vc = pc.value_counts(conv_all)
+        dup_vals = vc.field("values").filter(
+            pc.greater(vc.field("counts"), 1)
+        )
+        if len(dup_vals):
+            multi = pc.is_in(conv_all, value_set=dup_vals).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            multi = np.zeros(len(n), dtype=bool)
 
     # Single-part convs: the row is the conv. Dense 0..n-1 ordering holds
     # iff mn == 0, mx == distinct-1, and no duplicate turn values.
-    dup_excess = int((n[single] - ndl[single]).sum())
-    bad = int(
-        (
-            (mn_r[single] != 0)
-            | (mx_r[single] != ndl[single] - 1)
-            | (ndl[single] != n[single])
-        ).sum()
-    )
+    # Computed as ALL-rows totals minus the multi subset's contribution
+    # (a tiny fancy-index gather) — boolean-mask gathers over 5M rows
+    # cost more than the arithmetic they feed.
+    dup_all = n - ndl
+    bad_all = (mn_r != 0) | (mx_r != ndl - 1) | (ndl != n)
+    dup_excess = int(dup_all.sum())
+    bad = int(bad_all.sum())
 
     if multi.any():
         rows = np.flatnonzero(multi)
-        codes = (
-            pc.dictionary_encode(conv.take(pa.array(rows)))
-            .indices.to_numpy(zero_copy_only=False)
+        dup_excess -= int(dup_all[rows].sum())
+        bad -= int(bad_all[rows].sum())
+        idx = pa.array(rows)
+        conv_sub = table.column("conv").take(idx)
+        if isinstance(conv_sub, pa.ChunkedArray):
+            conv_sub = conv_sub.combine_chunks()
+        codes = pc.dictionary_encode(conv_sub).indices.to_numpy(
+            zero_copy_only=False
         )
         G = int(codes.max()) + 1
         n_turns = np.bincount(codes, weights=n[rows], minlength=G).astype(
@@ -653,7 +687,9 @@ def _merge_partials_local(table) -> dict:
         np.minimum.at(mn, codes, mn_r[rows])
         mx = np.full(G, np.iinfo(np.int64).min)
         np.maximum.at(mx, codes, mx_r[rows])
-        sub = turns_col.take(pa.array(rows))
+        sub = table.column("turns").take(idx)
+        if isinstance(sub, pa.ChunkedArray):
+            sub = sub.combine_chunks()
         lens = np.diff(sub.offsets.to_numpy())
         flat = sub.flatten().to_numpy(zero_copy_only=False)
         rep = np.repeat(codes.astype(np.int64, copy=False), lens)

@@ -324,3 +324,62 @@ def test_validation_scan_restores_confs_on_error(spark, tx_paths):
         with V.validation_scan(spark, tx_paths["viol"]):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+
+
+def test_merge_partials_local_hash_path_and_collisions():
+    """The ``ch`` fast path equals the string fallback, and a hash
+    COLLISION between two different convs only routes both through the
+    exact string-keyed path — results unchanged (collision-proof by
+    construction, not by hash quality)."""
+    import pyarrow as pa
+
+    import pandas as pd
+
+    # clean single-part conv "a"; dup single "b"; 2-part clean "c"
+    data = {
+        "conv": ["a", "b", "c", "c"],
+        "n": pa.array([3, 4, 3, 3], type=pa.int64()),
+        "mn": pa.array([0, 0, 0, 3], type=pa.int32()),
+        "mx": pa.array([2, 2, 2, 5], type=pa.int32()),
+        "ndl": pa.array([3, 3, 3, 3], type=pa.int64()),
+        "turns": pa.array(
+            [[0, 1, 2], [0, 1, 2], [0, 1, 2], [3, 4, 5]],
+            type=pa.list_(pa.int32()),
+        ),
+    }
+    no_ch = pa.table(data)
+    want = V._merge_partials_local(no_ch)
+    assert want == {"dup_rows_excess": 1, "ordering_violations": 1}
+
+    real = pd.util.hash_array(
+        pa.array(data["conv"]).to_numpy(zero_copy_only=False).astype(object)
+    ).view("int64")
+    with_ch = no_ch.add_column(1, "ch", pa.array(real, type=pa.int64()))
+    assert V._merge_partials_local(with_ch) == want
+
+    # force a collision: single-part convs "a" and "b" share a hash ->
+    # both take the exact path, keyed by their true conv strings
+    collided = pa.table({**data, "ch": pa.array([7, 7, 9, 9], type=pa.int64())})
+    collided = collided.select(
+        ["conv", "ch", "n", "mn", "mx", "ndl", "turns"]
+    )
+    assert V._merge_partials_local(collided) == want
+
+
+def test_integrity_fold_emits_deterministic_ch(spark, tx_paths):
+    """Spilled partials carry the uint64 conv hash, identical across
+    independent fold invocations (siphash with a fixed key, no
+    PYTHONHASHSEED dependence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fold = V._integrity_fold("conv_id", "turn_idx")
+    src = pq.read_table(tx_paths["viol"]).select(["conv_id", "turn_idx"])
+    out1 = pa.Table.from_batches(list(fold(src.to_batches())))
+    out2 = pa.Table.from_batches(list(fold(src.to_batches())))
+    assert "ch" in out1.schema.names
+    assert out1.schema.field("ch").type == pa.int64()
+    assert out1.column("ch").to_pylist() == out2.column("ch").to_pylist()
+    # hash is a pure function of conv: equal convs share it
+    df = out1.select(["conv", "ch"]).to_pandas()
+    assert (df.groupby("conv")["ch"].nunique() == 1).all()
