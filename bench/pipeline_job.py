@@ -18,7 +18,9 @@ import time
 # rev 2 = fused scan + background integrity reduce overlap.
 # rev 3 = tuned validation scan (right-sized splits + AQE off for the
 #         single-agg violations pass — see validate.validation_scan).
-ENGINE_REV = 3
+# rev 4 = hash-keyed integrity merge (int64 conv hash spilled by map
+#         tasks; driver reduce 6.6s -> ~1s at 5M partials).
+ENGINE_REV = 4
 
 
 def main():
