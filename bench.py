@@ -193,10 +193,13 @@ def run_transcript_pipeline(spark, path: str) -> dict:
     # fused one-pass scan: inference + integrity partials off the same
     # native pyarrow row-group read; the driver-side integrity reduce
     # overlaps the compile + violations stages (see operators/pipeline.py)
+    from jsonschema_infer_spark.operators.pipeline import ValidationPrewarm
+
+    pw = ValidationPrewarm(spark, path)
     res, integ_fut = infer_and_integrity_parquet(
         spark, path, rg_per_task=rg_per_task, integrity="background"
     )
-    cons = V.compile_constraints(res.schema, state=res.state, df=df)
+    cons = pw.constraints_for(res.schema, res.state, df)
     with V.validation_scan(spark, path) as vdf:
         agg = V.violation_counts(vdf, cons).collect()
     integ = integ_fut.result()

@@ -20,7 +20,11 @@ import time
 #         single-agg violations pass — see validate.validation_scan).
 # rev 4 = hash-keyed integrity merge (int64 conv hash spilled by map
 #         tasks; driver reduce 6.6s -> ~1s at 5M partials).
-ENGINE_REV = 4
+# rev 5 = validation prewarm: constraint build + violations codegen
+#         compiled against a one-row twin on a driver thread DURING the
+#         fused scan; the real violations run starts with hot codegen and
+#         zero py4j on the critical path (spec-match guarded).
+ENGINE_REV = 5
 
 
 def main():
@@ -69,12 +73,19 @@ def main():
     n_rg = pq.ParquetFile(args.data).num_row_groups
     rg_per_task = max(1, min(4, n_rg // (cores * 6)))
 
+    from jsonschema_infer_spark.operators.pipeline import ValidationPrewarm
+
     t0 = time.time()
+    # prewarm (driver thread, overlaps the scan): sample row-group 0,
+    # pre-build the constraint Columns and compile the violations plan's
+    # whole-stage code against a one-row twin — the real violations run
+    # below starts with hot codegen and zero py4j on the critical path
+    pw = ValidationPrewarm(spark, args.data)
     # fused one-pass scan: inference fold + per-conv integrity partials off
     # the same native pyarrow row-group read (the second data pass the
     # unfused composition paid is gone — see operators/pipeline.py).
     # integrity="background" overlaps the driver-side partials reduce with
-    # the compile + violations stages below (which need only the
+    # the compile + violations stages below (which only need the
     # InferResult): on a real cluster the driver is separate hardware, so
     # serializing that reduce before the next Spark job was a pure
     # Amdahl term.
@@ -83,7 +94,7 @@ def main():
     )
     t_fused = time.time() - t0
     t = time.time()
-    cons = V.compile_constraints(res.schema, state=res.state, df=df)
+    cons = pw.constraints_for(res.schema, res.state, df)
     t_compile = time.time() - t
     t = time.time()
     # tuned single-pass scan: splits sized to ~6 task waves per core and
@@ -108,6 +119,7 @@ def main():
         "row_violations": int(sum(r.violation_count for r in agg)),
         "dup_rows_excess": n_dup,
         "ordering_violations": n_ord,
+        "prewarm_hit": bool(pw.hit),
         "stage_secs": {
             "infer+integrity": round(t_fused, 2),
             "compile": round(t_compile, 2),

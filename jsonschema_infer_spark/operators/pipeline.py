@@ -214,3 +214,114 @@ def infer_and_integrity_parquet(
     finally:
         if spill_dir is None and not cleanup_owned_by_future:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+class ValidationPrewarm:
+    """Move the violations pass's fixed driver costs OFF the critical path.
+
+    The pipeline's validation stage pays two serial costs that do not
+    shrink with cores: building the constraint Columns (~0.5 s of py4j
+    round trips) and the first-execution whole-stage-codegen compile of
+    the violation_counts plan (janino, ~0.5-1 s). Both depend only on the
+    constraint SPEC — which a one-row-group sample predicts almost surely
+    (enum value sets, required columns and formats stabilize within 128k
+    rows) — so this helper, started JUST BEFORE the fused scan, runs on a
+    driver thread while executors scan:
+
+      1. fold row-group 0 through the same inference fold (pyarrow, C);
+      2. predict the spec (`validate.constraint_spec`, pure Python);
+      3. build the Column predicates (py4j, off-path);
+      4. execute violation_counts against a ONE-ROW parquet twin of the
+         table — same scan schema, same plan shape, so Spark's codegen
+         cache is hot for the real run (generated source is identical:
+         string literals land in the references array, not the source).
+
+    After inference, ``constraints_for(schema, state, df)`` compares the
+    REAL spec with the prediction: on a hit it returns the pre-built
+    constraints (zero py4j, warm codegen); on a miss it builds fresh —
+    correctness never depends on the prediction.
+
+    On a real cluster this is free driver hardware; on the one-bus bench
+    VM its footprint is ~0.3 s of driver CPU against a multi-second scan.
+    """
+
+    def __init__(self, spark, path: str, config: InferConfig | None = None,
+                 enum_max: int = 16):
+        import threading
+
+        self._spark = spark
+        self._path = path
+        self._config = config or default_config()
+        self._enum_max = enum_max
+        self.spec = None
+        self.constraints = None
+        self.error = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        import os
+        import shutil
+        import tempfile
+
+        import pyarrow.parquet as pq
+        import pyarrow.types as pt
+
+        from . import validate as V
+
+        tmp = tempfile.mkdtemp(prefix="jis_prewarm_")
+        try:
+            f = list_parquet_files(self._path)[0]
+            pf = pq.ParquetFile(f)
+            batches = pf.iter_batches(batch_size=10_000, row_groups=[0])
+            st, _ = fold_batches_columnar(batches, self._config, None)
+            schema = S.finalize(st, self._config)
+            temporal = {
+                fld.name
+                for fld in pf.schema_arrow
+                if pt.is_temporal(fld.type)
+            }
+            self.spec = V.constraint_spec(
+                schema, state=st, temporal_cols=temporal,
+                enum_max=self._enum_max,
+            )
+            cons = V.build_constraints(self.spec)
+            # one-row twin: same arrow schema -> same Spark scan schema ->
+            # identical generated source for the agg plan
+            one = pf.read_row_group(0).slice(0, 1)
+            twin = os.path.join(tmp, "twin.parquet")
+            pq.write_table(one, twin)
+            with V.validation_scan(self._spark, twin) as vdf:
+                V.violation_counts(vdf, cons).collect()
+            self.constraints = cons
+        except Exception as e:  # pragma: no cover - diagnostics only
+            self.error = e
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def constraints_for(self, schema: dict, state: dict, df) -> list:
+        """Join the prewarm thread and return constraints for the REAL
+        inference result: the pre-built list when the predicted spec
+        matches, a fresh build otherwise."""
+        from . import validate as V
+
+        self._thread.join()
+        real = V.constraint_spec(
+            schema, state=state,
+            temporal_cols=V.temporal_columns(df),
+            enum_max=self._enum_max,
+        )
+        # order-insensitive: the distributed merge and the serial sample
+        # fold iterate properties in different dict orders, but the same
+        # SET of constraint entries is the same validation work (entries
+        # are unique per (kind, column), so set equality is exact). The
+        # prewarmed list keeps ITS order — that is the plan whose codegen
+        # is already compiled.
+        self.hit = (
+            self.constraints is not None
+            and self.error is None
+            and frozenset(real) == frozenset(self.spec)
+        )
+        if self.hit:
+            return self.constraints
+        return V.build_constraints(real)

@@ -94,6 +94,138 @@ class Constraint:
     predicate: Column  # True = row conforms (nulls pass unless required)
 
 
+_KNOWN_FORMATS = {"date-time", "email", "uuid", "ipv4", "ipv6", "uri"}
+
+
+def constraint_spec(
+    schema: dict,
+    state: dict | None = None,
+    temporal_cols: set | None = None,
+    enum_max: int = 16,
+    with_ranges: bool = False,
+    with_lengths: bool = False,
+) -> list:
+    """PURE-PYTHON constraint plan: what compile_constraints will build,
+    as plain tuples (no py4j, no Spark session). Two uses: (a) the build
+    half (`build_constraints`) turns it into Column predicates; (b) two
+    specs compare with ``==`` — the prewarm path predicts the spec from a
+    one-row-group sample and reuses its already-built (and codegen-warmed)
+    constraints when the full-data spec lands identical.
+
+    ``temporal_cols``: column names whose Spark/Arrow type is a
+    timestamp/date (their date-time format check folds to TRUE — a
+    temporal column is RFC 3339 by rendering)."""
+    if schema.get("type") != "object":
+        raise ValueError("row validation requires an object root schema")
+    temporal = temporal_cols or set()
+    required = set(schema.get("required") or [])
+    out: list = []
+    for name, prop in (schema.get("properties") or {}).items():
+        if name in required:
+            out.append(("required", name))
+        fmt = prop.get("format")
+        if fmt:
+            out.append(
+                (
+                    "format",
+                    name,
+                    fmt,
+                    # only date-time folds to TRUE on temporal columns
+                    name in temporal and fmt == "date-time",
+                    fmt in _KNOWN_FORMATS,
+                )
+            )
+        if "const" in prop:
+            out.append(("const", name, prop["const"]))
+        st = (state or {}).get("props", {}).get(name) if state else None
+        if st is not None:
+            if (
+                st["distinct"] is not None
+                and 0 < len(st["distinct"]) <= enum_max
+                and "const" not in prop
+                and prop.get("type") in ("string", "integer", "boolean")
+            ):
+                out.append(
+                    ("enum", name, tuple(v for _, v in st["distinct"]))
+                )
+            if with_ranges and st["num_min"] is not None:
+                out.append(("range", name, st["num_min"], st["num_max"]))
+            if with_lengths and st["len_min"] is not None:
+                out.append(("length", name, st["len_min"], st["len_max"]))
+    return out
+
+
+def build_constraints(spec: list, custom_predicates: dict | None = None) -> list:
+    """Build Column predicates from a `constraint_spec` plan (the py4j
+    half — each expression node is a JVM round trip, ~0.5 s for a typical
+    table, which is why the prewarm path builds off the critical path)."""
+    out: list = []
+    nullsafe = lambda c, p: c.isNull() | p  # noqa: E731
+    for entry in spec:
+        kind, name = entry[0], entry[1]
+        col = F.col(name)
+        if kind == "required":
+            out.append(
+                Constraint(f"required:{name}", name, "required", col.isNotNull())
+            )
+        elif kind == "format":
+            fmt, temporal, known = entry[2], entry[3], entry[4]
+            if known:
+                pred = F.lit(True) if temporal else format_predicate(col, fmt)
+            elif custom_predicates and fmt in custom_predicates:
+                pred = custom_predicates[fmt](col)
+            else:
+                pred = None
+            if pred is not None:
+                out.append(
+                    Constraint(
+                        f"format:{name}:{fmt}", name, "format", nullsafe(col, pred)
+                    )
+                )
+        elif kind == "const":
+            out.append(
+                Constraint(
+                    f"const:{name}", name, "const",
+                    nullsafe(col, col == F.lit(entry[2])),
+                )
+            )
+        elif kind == "enum":
+            out.append(
+                Constraint(
+                    f"enum:{name}", name, "enum",
+                    nullsafe(col, col.isin(list(entry[2]))),
+                )
+            )
+        elif kind == "range":
+            out.append(
+                Constraint(
+                    f"range:{name}", name, "range",
+                    nullsafe(col, col.between(entry[2], entry[3])),
+                )
+            )
+        elif kind == "length":
+            out.append(
+                Constraint(
+                    f"length:{name}", name, "length",
+                    nullsafe(col, F.length(col).between(entry[2], entry[3])),
+                )
+            )
+        else:  # pragma: no cover - spec is produced by constraint_spec
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    return out
+
+
+def temporal_columns(df: DataFrame | None) -> set:
+    """Names of timestamp/date columns (the set constraint_spec needs)."""
+    if df is None:
+        return set()
+    return {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType, DateType))
+    }
+
+
 def compile_constraints(
     schema: dict,
     state: dict | None = None,
@@ -109,75 +241,21 @@ def compile_constraints(
     length ranges — reference roadmap FEATURES.md:72-94). Range/length checks
     default off: inferred bounds describe the sample, future rows may
     legitimately exceed them; enable explicitly for frozen snapshots.
-    """
-    if schema.get("type") != "object":
-        raise ValueError("row validation requires an object root schema")
-    out: list = []
-    df_fields = {f.name: f.dataType for f in df.schema.fields} if df is not None else {}
-    required = set(schema.get("required") or [])
-    nullsafe = lambda c, p: c.isNull() | p  # noqa: E731
 
-    for name, prop in (schema.get("properties") or {}).items():
-        col = F.col(name)
-        if name in required:
-            out.append(
-                Constraint(f"required:{name}", name, "required", col.isNotNull())
-            )
-        fmt = prop.get("format")
-        if fmt:
-            pred = format_predicate(col, fmt, df_fields.get(name))
-            if pred is None and custom_predicates and fmt in custom_predicates:
-                pred = custom_predicates[fmt](col)
-            if pred is not None:
-                out.append(
-                    Constraint(
-                        f"format:{name}:{fmt}", name, "format", nullsafe(col, pred)
-                    )
-                )
-        if "const" in prop:
-            out.append(
-                Constraint(
-                    f"const:{name}",
-                    name,
-                    "const",
-                    nullsafe(col, col == F.lit(prop["const"])),
-                )
-            )
-        st = (state or {}).get("props", {}).get(name) if state else None
-        if st is not None:
-            if (
-                st["distinct"] is not None
-                and 0 < len(st["distinct"]) <= enum_max
-                and "const" not in prop
-                and prop.get("type") in ("string", "integer", "boolean")
-            ):
-                values = [v for _, v in st["distinct"]]
-                out.append(
-                    Constraint(
-                        f"enum:{name}", name, "enum", nullsafe(col, col.isin(values))
-                    )
-                )
-            if with_ranges and st["num_min"] is not None:
-                out.append(
-                    Constraint(
-                        f"range:{name}",
-                        name,
-                        "range",
-                        nullsafe(col, col.between(st["num_min"], st["num_max"])),
-                    )
-                )
-            if with_lengths and st["len_min"] is not None:
-                out.append(
-                    Constraint(
-                        f"length:{name}",
-                        name,
-                        "length",
-                        nullsafe(
-                            col, F.length(col).between(st["len_min"], st["len_max"])
-                        ),
-                    )
-                )
-    return out
+    Thin wrapper over ``constraint_spec`` (pure plan) + ``build_constraints``
+    (py4j expression building) — see those for the prewarm/reuse split.
+    """
+    return build_constraints(
+        constraint_spec(
+            schema,
+            state=state,
+            temporal_cols=temporal_columns(df),
+            enum_max=enum_max,
+            with_ranges=with_ranges,
+            with_lengths=with_lengths,
+        ),
+        custom_predicates=custom_predicates,
+    )
 
 
 def violations(df: DataFrame, constraints: list, keep_cols: list | None = None) -> DataFrame:

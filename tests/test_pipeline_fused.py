@@ -153,3 +153,70 @@ def test_fused_checkpoint_ignores_orphan_tmp_files(spark, tx_paths, tmp_path):
     res2, integ2, man2 = fused_with_checkpoint(spark, path, ckpt, rg_per_task=1)
     assert res2.total_rows == res1.total_rows  # no double-count, no crash
     assert integ2 == integ1
+
+
+def test_validation_prewarm_hit_and_miss(spark, tx_paths):
+    """ValidationPrewarm predicts the constraint spec from row-group 0:
+    on the fixture (one row group) the prediction is exact -> the
+    pre-built, codegen-warmed constraints are returned verbatim; with a
+    mismatched schema the fallback builds fresh. Both paths produce the
+    same counts as compile_constraints."""
+    from jsonschema_infer_spark.operators import validate as V
+    from jsonschema_infer_spark.operators.pipeline import (
+        ValidationPrewarm,
+        infer_and_integrity_parquet,
+    )
+
+    path = tx_paths["viol"]
+    df = spark.read.parquet(path)
+
+    pw = ValidationPrewarm(spark, path)
+    res, _ = infer_and_integrity_parquet(spark, path)
+    cons = pw.constraints_for(res.schema, res.state, df)
+    assert pw.error is None
+    assert pw.hit is True
+    assert cons is pw.constraints  # the pre-built list, not a rebuild
+    want = {
+        (r.constraint, r.violation_count)
+        for r in V.violation_counts(
+            df, V.compile_constraints(res.schema, state=res.state, df=df)
+        ).collect()
+    }
+    got = {
+        (r.constraint, r.violation_count)
+        for r in V.violation_counts(df, cons).collect()
+    }
+    assert got == want
+
+    # miss: a schema whose spec can't match the sampled one
+    pw2 = ValidationPrewarm(spark, path)
+    other = {
+        "type": "object",
+        "properties": {"conv_id": {"type": "string"}},
+        "required": ["conv_id"],
+    }
+    cons2 = pw2.constraints_for(other, {"props": {}}, df)
+    assert pw2.hit is False
+    assert [c.name for c in cons2] == ["required:conv_id"]
+
+
+def test_constraint_spec_build_equals_compile(spark, tx_paths):
+    """constraint_spec + build_constraints is compile_constraints."""
+    from jsonschema_infer_spark.operators import validate as V
+    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+
+    viol = spark.read.parquet(tx_paths["viol"])
+    res = infer_dataframe(viol, num_partitions=4)
+    spec = V.constraint_spec(
+        res.schema, state=res.state, temporal_cols=V.temporal_columns(viol)
+    )
+    built = V.build_constraints(spec)
+    direct = V.compile_constraints(res.schema, state=res.state, df=viol)
+    assert [(c.name, c.kind, c.column) for c in built] == [
+        (c.name, c.kind, c.column) for c in direct
+    ]
+    a = {(r.constraint, r.violation_count)
+         for r in V.violation_counts(viol, built).collect()}
+    b = {(r.constraint, r.violation_count)
+         for r in V.violation_counts(viol, direct).collect()}
+    assert a == b
