@@ -120,6 +120,7 @@ def main():
         "dup_rows_excess": n_dup,
         "ordering_violations": n_ord,
         "prewarm_hit": bool(pw.hit),
+        "prewarm_error": repr(pw.error) if pw.error is not None else None,
         "stage_secs": {
             "infer+integrity": round(t_fused, 2),
             "compile": round(t_compile, 2),

@@ -204,6 +204,12 @@ def main():
     # evidence without repeating the six-level sweep.
     paired_only = os.environ.get("SPARK_GRAFT_BENCH_PAIRED_ONLY") == "1"
     if paired_only:
+        if cached is None:
+            raise SystemExit(
+                "SPARK_GRAFT_BENCH_PAIRED_ONLY=1 but no prior evidence file "
+                f"({evid_path} or {legacy_path}); run a full sweep first "
+                "(unset SPARK_GRAFT_BENCH_PAIRED_ONLY)."
+            )
         ceil = {int(k): v for k, v in cached["ceil"].items()}
         results = {int(k): v for k, v in cached["results"].items()}
     else:

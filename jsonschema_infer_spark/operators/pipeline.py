@@ -276,10 +276,16 @@ class ValidationPrewarm:
             batches = pf.iter_batches(batch_size=10_000, row_groups=[0])
             st, _ = fold_batches_columnar(batches, self._config, None)
             schema = S.finalize(st, self._config)
+            # mirror validate.temporal_columns exactly: Spark maps only
+            # timestamp/date arrow types to Timestamp/Date columns.
+            # pt.is_temporal also matches time32/time64/duration, which
+            # Spark reads as other types — including them would make the
+            # predicted spec structurally unequal on such tables and the
+            # prewarm could never hit.
             temporal = {
                 fld.name
                 for fld in pf.schema_arrow
-                if pt.is_temporal(fld.type)
+                if pt.is_timestamp(fld.type) or pt.is_date(fld.type)
             }
             self.spec = V.constraint_spec(
                 schema, state=st, temporal_cols=temporal,
@@ -306,6 +312,18 @@ class ValidationPrewarm:
         from . import validate as V
 
         self._thread.join()
+        if self.error is not None:
+            # a persistently broken prewarm (bad path, pyarrow change)
+            # would otherwise silently cost the full compile+codegen on
+            # every run while looking like a working optimization
+            import warnings
+
+            warnings.warn(
+                f"ValidationPrewarm failed ({self.error!r}); "
+                "falling back to cold constraint build",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         real = V.constraint_spec(
             schema, state=state,
             temporal_cols=V.temporal_columns(df),

@@ -23,6 +23,7 @@ Check taxonomy (SURVEY.md §2.5):
 from __future__ import annotations
 
 import re
+import threading
 from contextlib import contextmanager
 from dataclasses import dataclass
 
@@ -305,6 +306,14 @@ def violation_examples(
     )
 
 
+# validation_scan mutates SESSION-GLOBAL confs; serialize concurrent scans
+# (e.g. ValidationPrewarm's daemon thread vs the main thread) so two
+# save/restore windows can never interleave and leave AQE=false pinned for
+# the rest of the session. RLock: same-thread nesting stays legal and is
+# made safe by the restore-only-if-unchanged logic below.
+_SCAN_CONF_LOCK = threading.RLock()
+
+
 @contextmanager
 def validation_scan(
     spark,
@@ -315,6 +324,15 @@ def validation_scan(
 ):
     """Context manager yielding a DataFrame over ``path`` tuned for ONE
     full-table validation pass (``violation_counts`` / ``violating_rows``).
+
+    The two knobs are session-global: concurrent scans are serialized on a
+    module lock, and on exit each conf is restored only if its CURRENT
+    value is still the one this block set (another thread that set its own
+    value in between keeps it). Note any OTHER Spark job launched while a
+    scan is open (e.g. the background integrity reduce) runs with these
+    confs pinned — correctness is unaffected (AQE off / split size only
+    change plan shape), but schedule long concurrent jobs outside the
+    block when latency matters.
 
     Two session knobs are pinned for the duration (and restored on exit —
     they are read at ACTION time, so the collect must happen inside the
@@ -343,23 +361,34 @@ def validation_scan(
     total = sum(os.path.getsize(f) for f in files)
     cores = spark.sparkContext.defaultParallelism
     mpb = max(min_mpb, min(max_mpb, total // max(cores * waves, 1)))
-    keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.adaptive.enabled")
-    old = {}
-    for k in keys:
+    with _SCAN_CONF_LOCK:
+        keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.adaptive.enabled")
+        mine = {
+            "spark.sql.files.maxPartitionBytes": str(int(mpb)),
+            "spark.sql.adaptive.enabled": "false",
+        }
+        old = {}
+        for k in keys:
+            try:
+                old[k] = spark.conf.get(k)
+            except Exception:
+                old[k] = None
+        for k, v in mine.items():
+            spark.conf.set(k, v)
         try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(mpb)))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield spark.read.parquet(path)
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+            yield spark.read.parquet(path)
+        finally:
+            for k, v in old.items():
+                try:
+                    current = spark.conf.get(k)
+                except Exception:
+                    current = None
+                if current != mine[k]:
+                    continue  # someone else re-set it; keep their value
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
 
 def violation_counts(df: DataFrame, constraints: list) -> DataFrame:
@@ -715,7 +744,12 @@ def _merge_partials_local(table) -> dict:
             table.column("turns").combine_chunks().offsets.to_numpy()
         )
 
-    if "ch" in table.schema.names:
+    # ch fast path only when the column is null-free: a resumed checkpoint
+    # mixing pre-ch part files with new ones unifies to a ch column with
+    # nulls, whose to_numpy gives float64 NaNs — and pandas duplicated()
+    # treats all NaNs as duplicates, silently routing every legacy row
+    # through the slow exact-multi path. null_count is a metadata read.
+    if "ch" in table.schema.names and table.column("ch").null_count == 0:
         import pandas as _pd
 
         ch = table.column("ch").to_numpy(zero_copy_only=False)

@@ -365,6 +365,42 @@ def test_merge_partials_local_hash_path_and_collisions():
     )
     assert V._merge_partials_local(collided) == want
 
+    # a resumed checkpoint mixing pre-ch part files with new ones unifies
+    # to a ch column WITH NULLS; the fast path must be skipped (float64
+    # NaNs make pandas duplicated() mark every legacy row a duplicate) and
+    # the string fallback must give identical counts
+    mixed = pa.table(
+        {**data, "ch": pa.array([real[0], None, real[2], real[3]],
+                                type=pa.int64())}
+    ).select(["conv", "ch", "n", "mn", "mx", "ndl", "turns"])
+    assert V._merge_partials_local(mixed) == want
+
+
+def test_validation_scan_nested_and_concurrent_restore(spark, tx_paths):
+    """Same-thread nesting is legal (RLock) and restores confs inside-out;
+    a conf another actor re-set DURING the block is kept, not clobbered by
+    the block's stale saved value."""
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    before_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    with V.validation_scan(spark, tx_paths["viol"]):
+        inner_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        with V.validation_scan(spark, tx_paths["viol"], waves=12):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        # inner restored to the outer block's pin (values equal here since
+        # both scans read the same file set; AQE must still be off)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert (
+            spark.conf.get("spark.sql.files.maxPartitionBytes") == inner_mpb
+        )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before_mpb
+
+    # third-party re-set during the block survives the exit
+    with V.validation_scan(spark, tx_paths["viol"]):
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    spark.conf.set("spark.sql.adaptive.enabled", before_aqe)
+
 
 def test_integrity_fold_emits_deterministic_ch(spark, tx_paths):
     """Spilled partials carry the uint64 conv hash, identical across
