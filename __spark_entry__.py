@@ -258,22 +258,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_events_column_stats(spark, sf_dir):
-    df = _load(spark, sf_dir, "events")
-    aggs = []
-    for c in df.columns:
-        aggs.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.count(F.col(c)).alias("n"),
-                F.count(F.when(F.col(c).isNull(), 1)).alias("nulls"),
-                F.count_distinct(F.col(c)).alias("n_distinct"),
-            )
-        )
-    return (
-        df.agg(F.array(*aggs).alias("a"))
-        .select(F.explode("a").alias("s"))
-        .select("s.column", "s.n", "s.nulls", "s.n_distinct")
-    )
+    """Exact per-column stats in the Expand-free 100 TB shape
+    (validate.column_distinct_stats: per-column two-stage distinct instead
+    of one k-way count_distinct Expand whose AQE coalescing mis-sizes at
+    high parallelism). Still exact, so the count(DISTINCT) oracle is
+    unchanged; plan shape asserted in tests/test_plans.py."""
+    from jsonschema_infer_spark.operators.validate import column_distinct_stats
+
+    return column_distinct_stats(_load(spark, sf_dir, "events"))
 
 
 SQL_EVENTS_COLUMN_STATS = " UNION ALL ".join(

@@ -260,6 +260,25 @@ def _plane_udf_md5q(planes: np.ndarray):
     return signature
 
 
+def expected_recall(threshold: float, bands: int, bits_per_band: int) -> float:
+    """Sign-LSH recall FLOOR for ``lsh_cosine_pairs``: the probability that
+    a pair whose cosine is exactly ``threshold`` shares at least one band.
+
+    Per-plane agreement for a pair at angle θ is p = 1 − θ/π (Goemans–
+    Williamson / Charikar SimHash), a band of b bits collides with p^b, and
+    any-of-``bands`` collision is 1 − (1 − p^b)^bands. Recall is monotone
+    increasing in cosine, so pairs ABOVE the threshold are recalled at
+    least this often — the value is the contract for the hardest reported
+    pairs. Selectivity is the flip side: a random pair (cos ≈ 0, p = 1/2)
+    collides per band with 2^−b, so bits_per_band must stay large enough
+    that candidates ≈ bands · n²/2^b stays bounded (the 2-bit-band shape
+    admitted ~every pair; see the embeddings_lsh_pairs docstring)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    return 1.0 - (1.0 - p**bits_per_band) ** bands
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -270,6 +289,8 @@ def lsh_cosine_pairs(
     threshold: float = 0.9,
     seed: int = 42,
     plane_fn: str = "gauss",
+    min_recall: float = 0.5,
+    on_low_recall: str = "warn",
 ) -> DataFrame:
     """Near-duplicate embedding pairs: random-hyperplane LSH buckets ->
     candidate pairs -> exact cosine verify >= threshold.
@@ -278,7 +299,32 @@ def lsh_cosine_pairs(
     planes with integer-quantized projections (see md5_rademacher_planes /
     _plane_udf_md5q): every bucket bit is exact integer math DuckDB can
     replay, which makes the WHOLE operator — banding included —
-    oracle-able. Default 'gauss' keeps the classic seeded Gaussian planes."""
+    oracle-able. Default 'gauss' keeps the classic seeded Gaussian planes.
+
+    RECALL CONTRACT: pairs at the threshold boundary are found with
+    probability ``expected_recall(threshold, bands, n_planes // bands)``;
+    when that floor is below ``min_recall`` the call warns (or raises with
+    ``on_low_recall='raise'``; ``'ignore'`` silences) — low thresholds
+    with selective banding silently drop most qualifying pairs, which is
+    a fine exploration trade but a terrible silent default. At production
+    near-dup thresholds (>= 0.85) the default 8-bit bands recall >= 90%."""
+    if on_low_recall not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_low_recall: {on_low_recall!r}")
+    floor = expected_recall(threshold, bands, n_planes // bands)
+    if floor < min_recall and on_low_recall != "ignore":
+        msg = (
+            f"lsh_cosine_pairs: expected recall at threshold {threshold} "
+            f"with {bands} bands x {n_planes // bands} bits is only "
+            f"{floor:.3f} (< min_recall={min_recall}); pairs near the "
+            "threshold will mostly be missed. Raise the threshold, use "
+            "more/narrower bands (recall rises, selectivity falls), or "
+            "pass on_low_recall='ignore' to accept the trade."
+        )
+        if on_low_recall == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if plane_fn == "md5q":

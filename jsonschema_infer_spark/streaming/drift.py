@@ -50,10 +50,54 @@ def windowed_category_counts(
     )
 
 
+OTHER_BUCKET = "__other__"
+
+
+def _cap_category_counts(batch_df: DataFrame, key: str, k: int) -> DataFrame:
+    """Bound a (window_start, key, n) batch to the top-``k`` keys per
+    window (by count, key asc on ties — deterministic), folding the rest
+    into one ``__other__`` row. Runs DISTRIBUTED inside foreachBatch (the
+    batch is a plain DataFrame), so the driver collect that follows is
+    O(windows x (k+1)) no matter how high-cardinality the category column
+    is. Spark 4's WindowGroupLimit keeps the rank partial below the
+    exchange, same shape as violation_examples."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.col(key).asc()
+    )
+    ranked = batch_df.withColumn("_rk", F.row_number().over(w))
+    top = ranked.filter(F.col("_rk") <= k).drop("_rk")
+    rest = (
+        ranked.filter(F.col("_rk") > k)
+        .groupBy("window_start")
+        .agg(F.sum("n").alias("n"))
+        .select("window_start", F.lit(OTHER_BUCKET).alias(key), "n")
+    )
+    return top.unionByName(rest)
+
+
+def _fold_ref(ref: dict, window_keys: set) -> dict:
+    """Fold the reference profile onto a capped window's key set: kept
+    categories stay, everything else sums into ``__other__`` — both sides
+    of the homogeneity/PSI test then share one partition of the category
+    space (required for the statistics to mean anything)."""
+    if OTHER_BUCKET not in window_keys:
+        return ref
+    kept = {
+        k: v for k, v in ref.items() if k in window_keys and k != OTHER_BUCKET
+    }
+    kept[OTHER_BUCKET] = sum(
+        v for k, v in ref.items() if k not in kept
+    )
+    return kept
+
+
 def category_drift_foreach_batch(
     ref_counts: dict,
     out_path: str,
     alpha: float = 0.05,
+    max_categories: int = 1000,
 ):
     """Build the foreachBatch callback: chi-square homogeneity of each
     finalized window's category counts vs ``ref_counts`` (e.g. the counts
@@ -62,12 +106,17 @@ def category_drift_foreach_batch(
 
         window_start, n_window, chi2, dof, p_value, drifted
 
-    The input batch is already one row per (window, category) — collect()
-    here is O(categories) per finalized window, not O(turns)."""
+    The input batch is already one row per (window, category); windows
+    with more than ``max_categories`` distinct values are capped
+    DISTRIBUTED to the top-K plus one ``__other__`` fold (and the
+    reference profile is folded onto the same key set), so the driver
+    collect is O(windows x max_categories) even for an id-like column."""
     ref = {str(k): int(v) for k, v in ref_counts.items()}
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()
+        rows = _cap_category_counts(
+            batch_df, "category", max_categories
+        ).collect()
         if not rows:
             return
         by_win: dict = {}
@@ -75,7 +124,7 @@ def category_drift_foreach_batch(
             by_win.setdefault(r.window_start, {})[str(r.category)] = int(r.n)
         out = []
         for win_start, counts in sorted(by_win.items()):
-            res = chi2_homogeneity(ref, counts)
+            res = chi2_homogeneity(_fold_ref(ref, set(counts)), counts)
             out.append(
                 (
                     win_start,
@@ -106,6 +155,7 @@ def psi_drift_foreach_batch(
     out_path: str,
     threshold: float = 0.25,
     eps: float = 1e-6,
+    max_categories: int = 1000,
 ):
     """foreachBatch verdict stage computing the Population Stability Index
     of each finalized window's category (or bucket) counts vs the
@@ -114,22 +164,30 @@ def psi_drift_foreach_batch(
     One verdict row per window: window_start, n_window, psi, drifted.
 
     Works on either upstream stage: `windowed_category_counts` (column
-    ``category``) or `windowed_histogram_counts` (column ``bucket``)."""
+    ``category``) or `windowed_histogram_counts` (column ``bucket``).
+    Category windows above ``max_categories`` are capped distributed to
+    top-K + ``__other__`` with the reference folded to match (histogram
+    buckets are already bounded by the fixed grid)."""
     from ..functions.stats import psi as _psi
 
     ref = {str(k): int(v) for k, v in ref_counts.items()}
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()
+        key = "category" if "category" in batch_df.columns else "bucket"
+        capped = (
+            _cap_category_counts(batch_df, key, max_categories)
+            if key == "category"
+            else batch_df
+        )
+        rows = capped.collect()
         if not rows:
             return
-        key = "category" if "category" in batch_df.columns else "bucket"
         by_win: dict = {}
         for r in rows:
             by_win.setdefault(r.window_start, {})[str(r[key])] = int(r.n)
         out = []
         for win_start, counts in sorted(by_win.items()):
-            v = _psi(ref, counts, eps)
+            v = _psi(_fold_ref(ref, set(counts)), counts, eps)
             out.append(
                 (win_start, int(sum(counts.values())), float(v), bool(v > threshold))
             )

@@ -659,3 +659,94 @@ def test_minhash_signature_per_perm_seeds(spark):
     assert sig_xx == exp_xx
     # permutations must actually differ (the bug made them all identical)
     assert len(set(sig_xx)) > 1 and len(set(sig_md5)) > 1
+
+
+def test_expected_recall_formula_and_contract():
+    """Analytic pins + the warn/raise contract of the sign-LSH recall
+    floor (expected_recall)."""
+    import math
+
+    import pytest
+
+    # perfect similarity always collides; orthogonal pairs collide at the
+    # selectivity rate 1-(1-2^-b)^bands
+    assert SIM.expected_recall(1.0, 8, 8) == pytest.approx(1.0)
+    assert SIM.expected_recall(0.0, 8, 8) == pytest.approx(
+        1 - (1 - 2.0**-8) ** 8
+    )
+    # per-plane agreement p=1-acos(s)/pi: spot value at the driver query's
+    # shape (threshold 0.4, 8 bands x 8 bits) ~ 0.17 — the documented ~18%
+    p = 1 - math.acos(0.4) / math.pi
+    assert SIM.expected_recall(0.4, 8, 8) == pytest.approx(
+        1 - (1 - p**8) ** 8
+    )
+    assert 0.1 < SIM.expected_recall(0.4, 8, 8) < 0.25
+    # production near-dup threshold: the same banding recalls >= 90%
+    assert SIM.expected_recall(0.9, 8, 8) > 0.9
+    # monotone in threshold and in bands
+    assert SIM.expected_recall(0.6, 8, 8) > SIM.expected_recall(0.5, 8, 8)
+    assert SIM.expected_recall(0.5, 16, 8) > SIM.expected_recall(0.5, 8, 8)
+
+
+def test_lsh_low_recall_warns_and_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.warns(RuntimeWarning, match="expected recall"):
+        SIM.lsh_cosine_pairs(df, threshold=0.3, n_planes=64, bands=8)
+    with pytest.raises(ValueError, match="expected recall"):
+        SIM.lsh_cosine_pairs(
+            df, threshold=0.3, n_planes=64, bands=8, on_low_recall="raise"
+        )
+    # high threshold: no warning
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        SIM.lsh_cosine_pairs(df, threshold=0.95, n_planes=64, bands=8)
+
+
+def test_expected_recall_matches_measured_sf001_pairs():
+    """The recall FORMULA against MEASURED banding on the real sf0.01
+    embeddings with the driver query's exact seeded planes (numpy replica
+    of _plane_udf's float64 projections — the banding itself is
+    DuckDB-oracled in the driver compare): the measured recalled fraction
+    of true cos>=0.4 pairs must sit inside the binomial band around the
+    formula's per-pair prediction."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    M = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    n_planes, bands, thr = 64, 8, 0.4
+    rpb = n_planes // bands
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_planes, M.shape[1]))
+    bits = (M @ planes.T) > 0  # (n, 64)
+    sig = np.zeros(len(M), dtype=np.uint64)
+    for b in range(n_planes):
+        sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    band_vals = np.stack(
+        [(sig >> np.uint64(b * rpb)) & np.uint64((1 << rpb) - 1) for b in range(bands)],
+        axis=1,
+    )
+    norms = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(M), k=1)
+    true_mask = cos[iu] >= thr
+    n_true = int(true_mask.sum())
+    assert n_true > 10  # the fixture has a meaningful pair population
+    collide = (band_vals[iu[0][true_mask]] == band_vals[iu[1][true_mask]]).any(axis=1)
+    measured = int(collide.sum())
+    r = np.array(
+        [SIM.expected_recall(s, bands, rpb) for s in cos[iu][true_mask]]
+    )
+    mean, sd = r.sum(), float(np.sqrt((r * (1 - r)).sum()))
+    assert abs(measured - mean) <= 3 * sd + 2, (measured, mean, sd)

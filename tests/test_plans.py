@@ -102,3 +102,28 @@ def test_decontaminate_plan_broadcast_probe(spark):
     assert "BroadcastHashJoin" in p
     # the per-doc matched-shingle count is map-side combined
     assert "partial_count" in p.lower() or "HashAggregate" in p
+
+
+def test_column_stats_exact_distinct_no_expand(spark):
+    """The exact per-column distinct (column_distinct_stats) must plan
+    WITHOUT an Expand node: per-column pruned scans + two-stage
+    HashAggregate distinct, k-row broadcast join back to the base agg.
+    (A k-way count_distinct in one agg plans an Expand whose AQE
+    coalescing mis-sizes at high parallelism — CLAUDE.md.)"""
+    df = E.queries()["events_column_stats"](spark, SF)
+    df.collect()  # AQE-finalize
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in p
+    assert "HashAggregate" in p
+    assert "BroadcastHashJoin" in p
+    # each distinct branch scans exactly one column
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert any("struct<event_id:bigint>" in ln for ln in read)
+
+
+def test_ivf_probe_partition_pruning_driver_entry(spark):
+    """The driver's embeddings_ivf_probe entry must read the materialized
+    index with a cell partition filter (n_probe of 16 directories)."""
+    df = E.queries()["embeddings_ivf_probe"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "cell" in p

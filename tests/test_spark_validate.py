@@ -112,8 +112,48 @@ def test_integrity_parquet_native_matches(spark, tx_paths):
         spark, tx_paths["viol"], rg_per_task=1, local_merge_max_bytes=0
     ) == want
     assert V.transcript_integrity_summary(viol, distinct_strategy="split") == want
+    # tree-reduce escape hatch: executors consolidate pairwise, the driver
+    # merges one consolidated table — identical counts
+    assert V.transcript_integrity_native(
+        spark, tx_paths["viol"], rg_per_task=1, distinct_strategy="tree"
+    ) == want
     clean = V.transcript_integrity_native(spark, tx_paths["clean"], rg_per_task=1)
     assert clean == {"dup_rows_excess": 0, "ordering_violations": 0}
+
+
+def test_consolidate_partials_associative_and_equal():
+    """_consolidate_partials (the tree combine) must agree with
+    _merge_partials_local on any split of the same partial rows, including
+    negative turn indices and multi-part convs."""
+    import pyarrow as pa
+
+    data = {
+        "conv": ["a", "b", "c", "c", "d", "d", "d"],
+        "n": pa.array([3, 4, 3, 3, 2, 2, 1], type=pa.int64()),
+        "mn": pa.array([0, 0, 0, 3, -2, 0, 2], type=pa.int32()),
+        "mx": pa.array([2, 2, 2, 5, -1, 1, 2], type=pa.int32()),
+        "ndl": pa.array([3, 3, 3, 3, 2, 2, 1], type=pa.int64()),
+        "turns": pa.array(
+            [[0, 1, 2], [0, 1, 2], [0, 1, 2], [3, 4, 5],
+             [-2, -1], [0, 1], [2]],
+            type=pa.list_(pa.int32()),
+        ),
+    }
+    full = pa.table(data)
+    want = V._merge_partials_local(full)
+    one = V._consolidate_partials(full)
+    # consolidated: one row per conv, and the local merge of it agrees
+    assert one.num_rows == 4
+    assert V._merge_partials_local(one) == want
+    # associativity: consolidate halves, concat, consolidate again
+    left = V._consolidate_partials(full.slice(0, 4))
+    right = V._consolidate_partials(full.slice(4))
+    again = V._consolidate_partials(pa.concat_tables([left, right]))
+    assert V._merge_partials_local(again) == want
+    # IPC round-trip used by treeReduce
+    assert V._ipc_deser(V._ipc_ser(one)).equals(one)
+    # empty table passes through
+    assert V._consolidate_partials(full.slice(0, 0)).num_rows == 0
 
 
 def test_ts_regressions_match_injections(compiled):

@@ -165,3 +165,51 @@ def test_streaming_psi_drift(spark, tmp_path):
     from jsonschema_infer_spark.functions.stats import psi as psi_fn
 
     assert got[1].psi == psi_fn(REF, {"user": 9})
+
+
+def test_category_cap_bounds_driver_rows_at_10k_categories(spark, tmp_path):
+    """A 10k-distinct category column must not bloat the driver: the
+    foreachBatch stage caps each window to top-K + __other__ DISTRIBUTED,
+    the reference is folded onto the same key set, and totals are
+    preserved."""
+    import datetime as dt
+
+    from jsonschema_infer_spark.functions.stats import chi2_homogeneity
+    from jsonschema_infer_spark.streaming.drift import (
+        OTHER_BUCKET,
+        _cap_category_counts,
+        _fold_ref,
+        category_drift_foreach_batch,
+    )
+
+    win = dt.datetime(2026, 1, 1)
+    rows = [(win, f"c{i:05d}", 1) for i in range(10_000)] + [(win, "hot", 500)]
+    batch = spark.createDataFrame(
+        rows, "window_start timestamp, category string, n long"
+    )
+
+    capped = _cap_category_counts(batch, "category", 10).collect()
+    assert len(capped) == 11  # top-10 + __other__ — the driver bound
+    by_cat = {r.category: r.n for r in capped}
+    assert by_cat["hot"] == 500  # the heavy hitter survives
+    assert OTHER_BUCKET in by_cat
+    assert sum(by_cat.values()) == 10_500  # totals preserved exactly
+    # deterministic tie-break: n=1 ties keep the smallest keys
+    assert "c00000" in by_cat and "c00008" in by_cat
+
+    ref = {f"c{i:05d}": 5 for i in range(10_000)}
+    ref["hot"] = 100
+    out = str(tmp_path / "cap_out")
+    fb = category_drift_foreach_batch(ref, out, max_categories=10)
+    fb(batch, 0)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0].n_window == 10_500
+    # the verdict equals the pure chi2 on the folded dicts
+    want = chi2_homogeneity(_fold_ref(ref, set(by_cat)), by_cat)
+    assert got[0].chi2 == float(want["statistic"])
+    assert got[0].p_value == float(want["p_value"])
+    # ref folded: 10 kept keys + everything else in __other__
+    folded = _fold_ref(ref, set(by_cat))
+    assert set(folded) == set(by_cat)
+    assert sum(folded.values()) == sum(ref.values())
