@@ -190,18 +190,36 @@ def run_transcript_pipeline(spark, path: str) -> dict:
     n_rg = pq.ParquetFile(path).num_row_groups
     rg_per_task = max(1, min(4, n_rg // (cores * 6)))
     t0 = time.time()
-    # fused one-pass scan: inference + integrity partials off the same
-    # native pyarrow row-group read; the driver-side integrity reduce
-    # overlaps the compile + violations stages (see operators/pipeline.py)
-    from jsonschema_infer_spark.operators.pipeline import ValidationPrewarm
-
-    pw = ValidationPrewarm(spark, path)
-    res, integ_fut = infer_and_integrity_parquet(
-        spark, path, rg_per_task=rg_per_task, integrity="background"
+    # single-pass flow (same as bench/pipeline_job rev 6): predict the
+    # constraint spec from row-group 0, count violations against it inside
+    # the fused scan, confirm the prediction post-hoc; the classic
+    # prewarm+validation_scan path remains as the miss fallback
+    from jsonschema_infer_spark.operators.pipeline import (
+        ValidationPrewarm,
+        predict_constraint_spec,
     )
-    cons = pw.constraints_for(res.schema, res.state, df)
-    with V.validation_scan(spark, path) as vdf:
-        agg = V.violation_counts(vdf, cons).collect()
+
+    pred_spec = predict_constraint_spec(path)
+    pw = ValidationPrewarm(spark, path, spec=pred_spec)
+    res, integ_fut, vcounts = infer_and_integrity_parquet(
+        spark,
+        path,
+        rg_per_task=rg_per_task,
+        integrity="background",
+        violation_spec=pred_spec,
+    )
+    real_spec = V.constraint_spec(
+        res.schema, state=res.state, temporal_cols=V.temporal_columns(df)
+    )
+    if frozenset(real_spec) == frozenset(pred_spec):
+        agg_counts = vcounts
+    else:
+        cons = pw.constraints_for(res.schema, res.state, df)
+        with V.validation_scan(spark, path) as vdf:
+            agg_counts = {
+                r.constraint: r.violation_count
+                for r in V.violation_counts(vdf, cons).collect()
+            }
     integ = integ_fut.result()
     secs = time.time() - t0
     rows = res.total_rows
@@ -209,7 +227,7 @@ def run_transcript_pipeline(spark, path: str) -> dict:
         "rows": rows,
         "secs": secs,
         "turns_per_sec": rows / secs,
-        "row_violations": int(sum(r.violation_count for r in agg)),
+        "row_violations": int(sum(agg_counts.values())),
         "dup_rows_excess": integ["dup_rows_excess"],
         "ordering_violations": integ["ordering_violations"],
     }

@@ -24,7 +24,12 @@ import time
 #         compiled against a one-row twin on a driver thread DURING the
 #         fused scan; the real violations run starts with hot codegen and
 #         zero py4j on the critical path (spec-match guarded).
-ENGINE_REV = 5
+# rev 6 = single-pass validation: the fused scan also counts row
+#         violations against the PREDICTED spec (arrow twin of the Spark
+#         predicates, equality-tested); on a spec hit the separate
+#         violations scan disappears entirely — one table read total.
+#         Miss/unsupported falls back to the rev-5 flow.
+ENGINE_REV = 6
 
 
 def main():
@@ -73,35 +78,55 @@ def main():
     n_rg = pq.ParquetFile(args.data).num_row_groups
     rg_per_task = max(1, min(4, n_rg // (cores * 6)))
 
-    from jsonschema_infer_spark.operators.pipeline import ValidationPrewarm
+    from jsonschema_infer_spark.operators.pipeline import (
+        ValidationPrewarm,
+        predict_constraint_spec,
+    )
 
     t0 = time.time()
-    # prewarm (driver thread, overlaps the scan): sample row-group 0,
-    # pre-build the constraint Columns and compile the violations plan's
-    # whole-stage code against a one-row twin — the real violations run
-    # below starts with hot codegen and zero py4j on the critical path
-    pw = ValidationPrewarm(spark, args.data)
-    # fused one-pass scan: inference fold + per-conv integrity partials off
-    # the same native pyarrow row-group read (the second data pass the
-    # unfused composition paid is gone — see operators/pipeline.py).
+    # predict the constraint spec from row-group 0 SYNCHRONOUSLY (pure
+    # pyarrow, ~0.3 s) — the fused scan below counts row violations
+    # against this prediction in the same pass; prewarm then compiles the
+    # Spark constraints + violations codegen on a driver thread purely as
+    # the MISS-path insurance (joined only if the prediction is wrong)
+    pred_spec = predict_constraint_spec(args.data)
+    pw = ValidationPrewarm(spark, args.data, spec=pred_spec)
+    # fused one-pass scan: inference fold + per-conv integrity partials +
+    # predicted-spec violation counts, all off the same native pyarrow
+    # row-group read (rev 2 removed the second integrity pass; rev 6
+    # removes the third violations pass on a spec hit).
     # integrity="background" overlaps the driver-side partials reduce with
-    # the compile + violations stages below (which only need the
-    # InferResult): on a real cluster the driver is separate hardware, so
-    # serializing that reduce before the next Spark job was a pure
+    # whatever follows: on a real cluster the driver is separate hardware,
+    # so serializing that reduce before the next Spark job was a pure
     # Amdahl term.
-    res, integ_fut = infer_and_integrity_parquet(
-        spark, args.data, rg_per_task=rg_per_task, integrity="background"
+    res, integ_fut, vcounts = infer_and_integrity_parquet(
+        spark,
+        args.data,
+        rg_per_task=rg_per_task,
+        integrity="background",
+        violation_spec=pred_spec,
     )
     t_fused = time.time() - t0
     t = time.time()
-    cons = pw.constraints_for(res.schema, res.state, df)
+    real_spec = V.constraint_spec(
+        res.schema, state=res.state, temporal_cols=V.temporal_columns(df)
+    )
+    spec_hit = frozenset(real_spec) == frozenset(pred_spec)
     t_compile = time.time() - t
     t = time.time()
-    # tuned single-pass scan: splits sized to ~6 task waves per core and
-    # AQE off for this plan (a global agg has one single-row exchange —
-    # nothing to re-plan; measured 1.4x + outlier-free, validate.py)
-    with V.validation_scan(spark, args.data) as vdf:
-        agg = V.violation_counts(vdf, cons).collect()
+    if spec_hit:
+        # the fused counts ARE the violations result for the real spec —
+        # no second scan at all
+        agg_counts = vcounts
+    else:
+        # miss: classic flow — prewarmed constraints (or fresh build) +
+        # tuned single-pass validation scan
+        cons = pw.constraints_for(res.schema, res.state, df)
+        with V.validation_scan(spark, args.data) as vdf:
+            agg_counts = {
+                r.constraint: r.violation_count
+                for r in V.violation_counts(vdf, cons).collect()
+            }
     t_viol = time.time() - t
     t = time.time()
     integ = integ_fut.result()
@@ -116,10 +141,10 @@ def main():
         "rows": res.total_rows,
         "secs": round(secs, 3),
         "turns_per_sec": round(res.total_rows / secs, 1),
-        "row_violations": int(sum(r.violation_count for r in agg)),
+        "row_violations": int(sum(agg_counts.values())),
         "dup_rows_excess": n_dup,
         "ordering_violations": n_ord,
-        "prewarm_hit": bool(pw.hit),
+        "spec_hit": bool(spec_hit),
         "prewarm_error": repr(pw.error) if pw.error is not None else None,
         "stage_secs": {
             "infer+integrity": round(t_fused, 2),

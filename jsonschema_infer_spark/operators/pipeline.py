@@ -62,18 +62,31 @@ def _fused_task(
     out_dir: str,
     i: int,
     order_cols: list | None = None,
+    violation_spec: list | None = None,
 ) -> tuple:
     """One fused task: fold row-groups [lo, hi) of ``f`` through the
     inference observer while teeing (conv, turn) into the integrity
     pre-aggregation; integrity partials land in ``out_dir/part-<i>`` (a
     task retry overwrites the same file — idempotent). Returns
-    (state, rows). Shared by the direct and checkpointed pipelines."""
+    (state, rows), or (state, rows, violation_counts_vector) when
+    ``violation_spec`` is given — the same batch stream then ALSO feeds
+    the arrow violation counter (validate.arrow_violation_counter), so a
+    predicted constraint spec is validated in this one pass instead of a
+    second whole-table scan. Shared by the direct and checkpointed
+    pipelines (and driven standalone by bench_scaling's kernel control)."""
     import os
 
     import pyarrow.parquet as pq
 
+    from .validate import arrow_violation_counter
+
     integrity_fold = _integrity_fold(conv_col, idx_col)
     pf = pq.ParquetFile(f)
+    counter = None
+    vcounts = None
+    vnames: list = []
+    if violation_spec is not None:
+        vnames, counter = arrow_violation_counter(violation_spec, pf.schema_arrow)
     # batch_size matches infer_parquet so the inference fold sees the
     # exact same batch boundaries (value-identical partials)
     batches = pf.iter_batches(batch_size=10_000, row_groups=list(range(lo, hi)))
@@ -82,6 +95,7 @@ def _fused_task(
     idxs = (ns.index(conv_col), ns.index(idx_col))
 
     def tee(bs):
+        nonlocal vcounts
         for b in bs:
             cols = []
             for j in idxs:
@@ -92,6 +106,9 @@ def _fused_task(
             kept.append(
                 pa.RecordBatch.from_arrays(cols, names=[conv_col, idx_col])
             )
+            if counter is not None:
+                c = counter(b)
+                vcounts = c if vcounts is None else vcounts + c
             yield b
 
     st, rows = fold_batches_columnar(tee(batches), config, order_cols)
@@ -101,6 +118,12 @@ def _fused_task(
             pa.Table.from_batches(out),
             os.path.join(out_dir, f"part-{i:05d}.parquet"),
         )
+    if violation_spec is not None:
+        import numpy as np
+
+        if vcounts is None:  # zero batches in this task's range
+            vcounts = np.zeros(len(vnames), dtype=np.int64)
+        return st, rows, vcounts
     return st, rows
 
 
@@ -116,11 +139,24 @@ def infer_and_integrity_parquet(
     distinct_strategy: str = "auto",
     local_merge_max_bytes: int = 256 << 20,
     integrity: str = "eager",
+    violation_spec: list | None = None,
 ) -> tuple:
     """Fused scan: returns ``(InferResult, integrity_dict)`` where the
     InferResult equals ``infer_parquet(spark, path, config, ...)`` and the
     dict equals ``transcript_integrity_native(spark, path, ...)`` — one
     data pass instead of two.
+
+    ``violation_spec`` (a validate.constraint_spec plan, typically the
+    prewarm's PREDICTION from row-group 0) adds row-violation counting to
+    the same pass: the return grows a third element, a dict
+    {constraint_name: violation_count} bit-equal to what
+    validation_scan + violation_counts would produce for that spec —
+    three whole-table reads collapsed into one. The counts are only
+    MEANINGFUL if the spec matches the schema actually inferred; callers
+    must compare the predicted spec against the real one
+    (``constraint_spec(res.schema, state=res.state, ...)``) and fall back
+    to the classic violations pass on a mismatch (see bench/pipeline_job
+    for the canonical hit/miss flow).
 
     ``integrity="background"`` returns ``(InferResult, Future)`` instead:
     the spilled-partials reduce — a driver-side cost that needs nothing
@@ -158,10 +194,22 @@ def infer_and_integrity_parquet(
     out_dir = spill_dir or tempfile.mkdtemp(prefix="jis_pipeline_")
     os.makedirs(out_dir, exist_ok=True)
 
+    if violation_spec is not None:
+        # validate support up front (raises UnsupportedArrowSpec on the
+        # driver, not inside 200 tasks) and capture the constraint names
+        import pyarrow.parquet as _pq
+
+        from .validate import arrow_violation_counter
+
+        vnames, _ = arrow_violation_counter(
+            violation_spec, _pq.ParquetFile(tasks[0][0]).schema_arrow
+        )
+
     def run(item):
         i, (f, lo, hi) = item
         return _fused_task(
-            f, lo, hi, config, conv_col, idx_col, out_dir, i, order_cols
+            f, lo, hi, config, conv_col, idx_col, out_dir, i, order_cols,
+            violation_spec,
         )
 
     cleanup_owned_by_future = False
@@ -169,15 +217,27 @@ def infer_and_integrity_parquet(
         rdd = spark.sparkContext.parallelize(
             list(enumerate(tasks)), max(len(tasks), 1)
         ).map(run)
+        vtotals = None
         if len(tasks) > _TREE_REDUCE_THRESHOLD:
             depth = max(2, int(math.ceil(math.log(max(len(tasks), 2), 64))))
-            merged, total_rows = rdd.treeReduce(
-                lambda a, b: (S.merge(a[0], b[0]), a[1] + b[1]), depth=depth
-            )
+            if violation_spec is not None:
+                merged, total_rows, vtotals = rdd.treeReduce(
+                    lambda a, b: (
+                        S.merge(a[0], b[0]), a[1] + b[1], a[2] + b[2]
+                    ),
+                    depth=depth,
+                )
+            else:
+                merged, total_rows = rdd.treeReduce(
+                    lambda a, b: (S.merge(a[0], b[0]), a[1] + b[1]),
+                    depth=depth,
+                )
         else:
             pairs = rdd.collect()
             merged = merge_states([p[0] for p in pairs])
             total_rows = sum(p[1] for p in pairs)
+            if violation_spec is not None:
+                vtotals = sum(p[2] for p in pairs)
 
         schema = S.finalize(merged, config)
         res = InferResult(
@@ -206,14 +266,54 @@ def infer_and_integrity_parquet(
             fut = pool.submit(_reduce_then_cleanup)
             pool.shutdown(wait=False)  # thread finishes; submit no more
             cleanup_owned_by_future = True
+            if violation_spec is not None:
+                return res, fut, dict(zip(vnames, (int(v) for v in vtotals)))
             return res, fut
         integ = reduce_spilled_partials(
             spark, out_dir, distinct_strategy, local_merge_max_bytes
         )
+        if violation_spec is not None:
+            return res, integ, dict(zip(vnames, (int(v) for v in vtotals)))
         return res, integ
     finally:
         if spill_dir is None and not cleanup_owned_by_future:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def predict_constraint_spec(
+    path: str, config: InferConfig | None = None, enum_max: int = 16
+) -> list:
+    """Predict the constraint spec from row-group 0 of the first file —
+    the SYNCHRONOUS half of the prewarm (pure pyarrow + Python, no Spark,
+    ~0.3 s on a 128k-row group). The fused single-pass flow needs the
+    prediction BEFORE launching the scan so the scan itself can count
+    violations against it (infer_and_integrity_parquet's
+    ``violation_spec``); pass the result to ValidationPrewarm(spec=...)
+    so the background codegen warm doesn't refold the sample."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    from . import validate as V
+
+    config = config or default_config()
+    f = list_parquet_files(path)[0]
+    pf = pq.ParquetFile(f)
+    batches = pf.iter_batches(batch_size=10_000, row_groups=[0])
+    st, _ = fold_batches_columnar(batches, config, None)
+    schema = S.finalize(st, config)
+    # mirror validate.temporal_columns exactly: Spark maps only
+    # timestamp/date arrow types to Timestamp/Date columns. pt.is_temporal
+    # also matches time32/time64/duration, which Spark reads as other
+    # types — including them would make the predicted spec structurally
+    # unequal on such tables and the prediction could never hit.
+    temporal = {
+        fld.name
+        for fld in pf.schema_arrow
+        if pt.is_timestamp(fld.type) or pt.is_date(fld.type)
+    }
+    return V.constraint_spec(
+        schema, state=st, temporal_cols=temporal, enum_max=enum_max
+    )
 
 
 class ValidationPrewarm:
@@ -246,14 +346,14 @@ class ValidationPrewarm:
     """
 
     def __init__(self, spark, path: str, config: InferConfig | None = None,
-                 enum_max: int = 16):
+                 enum_max: int = 16, spec: list | None = None):
         import threading
 
         self._spark = spark
         self._path = path
         self._config = config or default_config()
         self._enum_max = enum_max
-        self.spec = None
+        self.spec = spec  # precomputed prediction (predict_constraint_spec)
         self.constraints = None
         self.error = None
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -265,32 +365,17 @@ class ValidationPrewarm:
         import tempfile
 
         import pyarrow.parquet as pq
-        import pyarrow.types as pt
 
         from . import validate as V
 
         tmp = tempfile.mkdtemp(prefix="jis_prewarm_")
         try:
+            if self.spec is None:
+                self.spec = predict_constraint_spec(
+                    self._path, self._config, self._enum_max
+                )
             f = list_parquet_files(self._path)[0]
             pf = pq.ParquetFile(f)
-            batches = pf.iter_batches(batch_size=10_000, row_groups=[0])
-            st, _ = fold_batches_columnar(batches, self._config, None)
-            schema = S.finalize(st, self._config)
-            # mirror validate.temporal_columns exactly: Spark maps only
-            # timestamp/date arrow types to Timestamp/Date columns.
-            # pt.is_temporal also matches time32/time64/duration, which
-            # Spark reads as other types — including them would make the
-            # predicted spec structurally unequal on such tables and the
-            # prewarm could never hit.
-            temporal = {
-                fld.name
-                for fld in pf.schema_arrow
-                if pt.is_timestamp(fld.type) or pt.is_date(fld.type)
-            }
-            self.spec = V.constraint_spec(
-                schema, state=st, temporal_cols=temporal,
-                enum_max=self._enum_max,
-            )
             cons = V.build_constraints(self.spec)
             # one-row twin: same arrow schema -> same Spark scan schema ->
             # identical generated source for the agg plan

@@ -216,6 +216,241 @@ def build_constraints(spec: list, custom_predicates: dict | None = None) -> list
     return out
 
 
+class UnsupportedArrowSpec(ValueError):
+    """Raised when `arrow_violation_counter` cannot replicate a constraint
+    spec entry bit-exactly — the caller must fall back to the Spark
+    (Column-predicate) violations pass."""
+
+
+def _spark_datetime_fields_ok(s: str) -> bool:
+    """Field validation mirroring Spark's try_to_timestamp on strings that
+    already matched RX_DATETIME (behavior pinned empirically on Spark 4.1:
+    real calendar dates in the proleptic calendar — year 0000 is a leap
+    year; hour<=23, no leap second; zone offset a valid java.time
+    ZoneOffset, i.e. within +/-18:00 with minutes<=59; ANY number of
+    fractional digits accepted)."""
+    import calendar
+
+    s = s.rstrip("\n")  # '$' admits one trailing newline in both engines
+    y, mo, d = int(s[0:4]), int(s[5:7]), int(s[8:10])
+    h, mi, sec = int(s[11:13]), int(s[14:16]), int(s[17:19])
+    if not (1 <= mo <= 12) or not (1 <= d <= calendar.monthrange(y, mo)[1]):
+        return False
+    if h > 23 or mi > 59 or sec > 59:
+        return False
+    if s.endswith("Z"):
+        return True
+    off = s[-6:]
+    oh, om = int(off[1:3]), int(off[4:6])
+    return om <= 59 and (oh < 18 or (oh == 18 and om == 0))
+
+
+def _spark_format_vec(fmt: str):
+    """Vectorized (pd.Series[str] -> pd.Series[bool]) mirror of the SPARK
+    format predicate (format_predicate's rlike regex, plus the
+    try_to_timestamp gate for date-time) — NOT the Go-exact detectors in
+    functions/formats (those define inference survivorship; validation
+    compares against what the Spark violations pass would say, and the
+    two acceptance sets differ outside the detector-accepted subset)."""
+    import re as _re
+
+    rx_by_fmt = {
+        "email": RX_EMAIL,
+        "uuid": RX_UUID,
+        "ipv4": RX_IPV4,
+        "ipv6": RX_IPV6,
+        "uri": RX_URI,
+    }
+    if fmt == "date-time":
+        rx = _re.compile(RX_DATETIME)
+
+        def vec(series):
+            ok = series.str.match(rx).fillna(False)
+            if ok.any():
+                sub = series[ok]
+                ok.loc[ok] = [_spark_datetime_fields_ok(v) for v in sub]
+            return ok
+
+        return vec
+    rx = _re.compile(rx_by_fmt[fmt])
+    return lambda series: series.str.match(rx).fillna(False)
+
+
+def arrow_violation_counter(spec: list, arrow_schema):
+    """Vectorized arrow/numpy twin of ``build_constraints`` +
+    ``violation_counts``: returns ``(names, count_batch)`` where
+    ``count_batch(record_batch)`` yields an int64 numpy vector of
+    per-constraint violation counts, bit-equal to the Spark predicates
+    (equality fuzz-tested in tests/test_pipeline_fused.py).
+
+    This is what lets the FUSED scan count violations in the same pass
+    that infers the schema (see pipeline.infer_and_integrity_parquet's
+    ``violation_spec``): when the prewarmed spec prediction matches the
+    real inferred spec, the separate whole-table validation scan is
+    skipped entirely — at 100 TB that is a full second read of the table.
+
+    Semantics mirrored exactly:
+    - required: violation iff NULL (col.isNotNull());
+    - format (known detector): NULL passes; temporal-fold entries are
+      constant TRUE (0 violations); otherwise a Python mirror of the
+      SPARK predicate (format_predicate's rlike regex + the
+      try_to_timestamp gate — see _spark_format_vec) judges each
+      non-null string;
+    - const/enum: NULL passes; non-null must equal / be a member;
+    - range: NULL passes; numpy evaluates NOT(lo <= v <= hi) so NaN
+      counts as a violation exactly like Spark's three-valued between;
+    - length: NULL passes; utf8 character length bounds like F.length.
+
+    Raises UnsupportedArrowSpec for anything whose Spark/arrow semantics
+    could diverge (missing column, custom format, const/enum on a column
+    type where lit() coercion isn't the identity)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names: list = []
+    checks: list = []
+    schema_names = arrow_schema.names
+
+    def _col_index(name: str) -> int:
+        if name not in schema_names:
+            raise UnsupportedArrowSpec(f"column {name!r} not in scan schema")
+        return schema_names.index(name)
+
+    def _is_str(typ) -> bool:
+        return pa.types.is_string(typ) or pa.types.is_large_string(typ)
+
+    for entry in spec:
+        kind, name = entry[0], entry[1]
+        j = _col_index(name)
+        typ = arrow_schema.field(name).type
+        if pa.types.is_dictionary(typ):  # parquet dict-encoded columns
+            typ = typ.value_type
+        if kind == "required":
+
+            def fn(arr):
+                return arr.null_count
+
+            names.append(f"required:{name}")
+            checks.append((j, fn))
+        elif kind == "format":
+            fmt, temporal, known = entry[2], entry[3], entry[4]
+            if not known:
+                # build_constraints skips unknown formats without a custom
+                # predicate; custom predicates are Column-land — can't
+                # guarantee bit-equality here
+                raise UnsupportedArrowSpec(f"custom/unknown format {fmt!r}")
+            if temporal:
+
+                def fn(arr):
+                    return 0
+
+            elif _is_str(typ):
+                vec = _spark_format_vec(fmt)
+
+                def fn(arr, vec=vec):
+                    vals = arr.drop_null()
+                    if len(vals) == 0:
+                        return 0
+                    s = vals.to_pandas()
+                    return int(len(s) - vec(s).sum())
+
+            else:
+                raise UnsupportedArrowSpec(
+                    f"format {fmt!r} on non-string column {name!r} ({typ})"
+                )
+            names.append(f"format:{name}:{fmt}")
+            checks.append((j, fn))
+        elif kind in ("const", "enum"):
+            vals = [entry[2]] if kind == "const" else list(entry[2])
+            ok = (
+                (_is_str(typ) and all(isinstance(v, str) for v in vals))
+                or (
+                    pa.types.is_integer(typ)
+                    and all(
+                        isinstance(v, int) and not isinstance(v, bool)
+                        for v in vals
+                    )
+                )
+                or (
+                    pa.types.is_boolean(typ)
+                    and all(isinstance(v, bool) for v in vals)
+                )
+                or (
+                    pa.types.is_floating(typ)
+                    and kind == "const"
+                    and all(isinstance(v, (int, float)) for v in vals)
+                )
+            )
+            if not ok:
+                raise UnsupportedArrowSpec(
+                    f"{kind} on {name!r}: values {vals!r} vs column type "
+                    f"{typ} would rely on lit() coercion"
+                )
+            value_set = pa.array(vals, typ)
+
+            def fn(arr, value_set=value_set):
+                arr = arr.drop_null()
+                if len(arr) == 0:
+                    return 0
+                hit = pc.sum(pc.is_in(arr, value_set=value_set)).as_py()
+                return len(arr) - int(hit or 0)
+
+            names.append(f"{kind}:{name}")
+            checks.append((j, fn))
+        elif kind == "range":
+            lo, hi = entry[2], entry[3]
+            if not (
+                pa.types.is_integer(typ) or pa.types.is_floating(typ)
+            ):
+                raise UnsupportedArrowSpec(f"range on non-numeric {name!r}")
+
+            def fn(arr, lo=lo, hi=hi):
+                v = arr.drop_null().to_numpy(zero_copy_only=False)
+                if len(v) == 0:
+                    return 0
+                return int((~((v >= lo) & (v <= hi))).sum())
+
+            names.append(f"range:{name}")
+            checks.append((j, fn))
+        elif kind == "length":
+            lo, hi = entry[2], entry[3]
+            if not _is_str(typ):
+                raise UnsupportedArrowSpec(f"length on non-string {name!r}")
+
+            def fn(arr, lo=lo, hi=hi):
+                s = arr.drop_null()
+                if len(s) == 0:
+                    return 0
+                lens = pc.utf8_length(s)
+                ok = pc.and_(
+                    pc.greater_equal(lens, lo), pc.less_equal(lens, hi)
+                )
+                return len(s) - int(pc.sum(ok).as_py() or 0)
+
+            names.append(f"length:{name}")
+            checks.append((j, fn))
+        else:
+            raise UnsupportedArrowSpec(f"unknown constraint kind {kind!r}")
+
+    def count_batch(batch) -> "np.ndarray":
+        decoded: dict = {}
+
+        def col(j):
+            if j not in decoded:
+                a = batch.column(j)
+                if pa.types.is_dictionary(a.type):
+                    a = a.cast(a.type.value_type)
+                decoded[j] = a
+            return decoded[j]
+
+        return np.array(
+            [fn(col(j)) for j, fn in checks], dtype=np.int64
+        )
+
+    return names, count_batch
+
+
 def temporal_columns(df: DataFrame | None) -> set:
     """Names of timestamp/date columns (the set constraint_spec needs)."""
     if df is None:

@@ -220,3 +220,153 @@ def test_constraint_spec_build_equals_compile(spark, tx_paths):
     b = {(r.constraint, r.violation_count)
          for r in V.violation_counts(viol, direct).collect()}
     assert a == b
+
+
+def _spark_truth(spark, path, spec):
+    df = spark.read.parquet(path)
+    cons = V.build_constraints(spec)
+    return {
+        r.constraint: r.violation_count
+        for r in V.violation_counts(df, cons).collect()
+    }
+
+
+def test_fused_violation_counts_match_spark(spark, tx_paths):
+    """The arrow violation counter inside the fused scan must equal the
+    Spark violations pass bit-for-bit — on the self-spec (all zeros by the
+    structural invariant) AND on a cross-table spec that genuinely flags
+    rows (clean-table spec applied to the violated table)."""
+    from jsonschema_infer_spark.operators.pipeline import (
+        predict_constraint_spec,
+    )
+
+    # hit flow: prediction from row-group 0, fused counts, spec confirmed
+    pred = predict_constraint_spec(tx_paths["viol"])
+    res, integ, vcounts = infer_and_integrity_parquet(
+        spark, tx_paths["viol"], rg_per_task=1, violation_spec=pred
+    )
+    real = V.constraint_spec(
+        res.schema,
+        state=res.state,
+        temporal_cols=V.temporal_columns(spark.read.parquet(tx_paths["viol"])),
+    )
+    assert frozenset(real) == frozenset(pred)  # prediction hits
+    assert vcounts == _spark_truth(spark, tx_paths["viol"], pred)
+    # self-validation invariant: constraints inferred from the snapshot
+    # cannot flag the snapshot
+    assert all(v == 0 for v in vcounts.values())
+    # integrity unchanged by the extra counting
+    assert integ == V.transcript_integrity_native(
+        spark, tx_paths["viol"], rg_per_task=1
+    )
+
+    # cross-table spec: clean table's constraints against the violated
+    # table — must flag rows, and must match Spark exactly
+    clean_res = infer_parquet(spark, tx_paths["clean"], rg_per_task=2)
+    cross = V.constraint_spec(
+        clean_res.schema,
+        state=clean_res.state,
+        temporal_cols=V.temporal_columns(spark.read.parquet(tx_paths["clean"])),
+    )
+    _, _, vcross = infer_and_integrity_parquet(
+        spark, tx_paths["viol"], rg_per_task=1, violation_spec=cross
+    )
+    truth = _spark_truth(spark, tx_paths["viol"], cross)
+    assert vcross == truth
+    assert sum(vcross.values()) > 0  # the cross spec genuinely flags rows
+
+
+def test_arrow_violation_counter_kinds_match_spark(spark, tmp_path):
+    """Per-kind equality fuzz: every constraint kind (required, all six
+    known formats on strings, temporal fold, const, enum, range incl.
+    NaN, length) over a hand-built table with edge values — arrow counter
+    totals == Spark violation_counts."""
+    import datetime as dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "s_dt": [
+            "2026-01-01T00:00:00Z",        # ok
+            "2026-13-01T00:00:00Z",        # bad month
+            "2026-02-29T00:00:00Z",        # not a leap year
+            "2024-02-29T00:00:00Z",        # leap day ok
+            "2026-01-01T00:00:00+18:30",   # offset beyond ZoneOffset
+            "2026-01-01T00:00:00.1234567890Z",  # 10 frac digits: ok
+            "0000-01-01T00:00:00Z",        # year zero: ok (proleptic)
+            None,                          # null passes
+            "nope",
+            "2026-01-01T00:00:60Z",        # leap second rejected
+        ],
+        "s_email": [
+            "a@b.co", "bad", "x@y.io", None, "a@b", "u%p@d.org",
+            "a@b.co", "a@b.co", "a@b.co", "a@b.co",
+        ],
+        "s_enum": ["u", "a", "u", "x", None, "u", "a", "a", "u", "z"],
+        "s_const": ["k"] * 8 + ["j", None],
+        "n_range": [1.0, 2.5, float("nan"), -3.0, None, 99.0, 2.0, 2.0, 2.0, 2.0],
+        "n_enum": [1, 2, 1, 7, None, 1, 2, 2, 1, 9],
+        "s_len": ["ab", "abc", "a", "abcd", None, "ab", "ab", "ab", "ab", ""],
+        "ts": [dt.datetime(2026, 1, 1)] * 9 + [None],
+    }
+    table = pa.table(
+        {
+            "s_dt": pa.array(rows["s_dt"], pa.string()),
+            "s_email": pa.array(rows["s_email"], pa.string()),
+            "s_enum": pa.array(rows["s_enum"], pa.string()),
+            "s_const": pa.array(rows["s_const"], pa.string()),
+            "n_range": pa.array(rows["n_range"], pa.float64()),
+            "n_enum": pa.array(rows["n_enum"], pa.int64()),
+            "s_len": pa.array(rows["s_len"], pa.string()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+        }
+    )
+    path = str(tmp_path / "kinds.parquet")
+    pq.write_table(table, path)
+
+    spec = [
+        ("required", "s_dt"),
+        ("required", "ts"),
+        ("format", "s_dt", "date-time", False, True),
+        ("format", "s_email", "email", False, True),
+        ("format", "ts", "date-time", True, True),  # temporal fold
+        ("const", "s_const", "k"),
+        ("enum", "s_enum", ("u", "a")),
+        ("enum", "n_enum", (1, 2)),
+        ("range", "n_range", 0.0, 10.0),
+        ("length", "s_len", 2, 3),
+    ]
+    names, counter = V.arrow_violation_counter(spec, table.schema)
+    import numpy as np
+
+    totals = np.zeros(len(names), dtype=np.int64)
+    for b in table.to_batches(max_chunksize=3):  # multiple small batches
+        totals += counter(b)
+    got = dict(zip(names, (int(v) for v in totals)))
+    want = _spark_truth(spark, path, spec)
+    assert got == want, (got, want)
+    # hand-checked anchors (so both engines can't be wrong together):
+    # date-time accepts ok/leap-day/10-frac/year-zero, rejects 5 of 9
+    assert got["format:s_dt:date-time"] == 5
+    assert got["format:ts:date-time"] == 0  # temporal fold
+    assert got["required:ts"] == 1
+    assert got["enum:s_enum"] == 2  # 'x', 'z'
+    assert got["range:n_range"] == 3  # nan, -3, 99
+    assert got["length:s_len"] == 3  # 'a', 'abcd', ''
+
+
+def test_arrow_violation_counter_unsupported_raises(spark, tmp_path):
+    import pyarrow as pa
+
+    schema = pa.schema([("a", pa.string()), ("t", pa.timestamp("us"))])
+    with pytest.raises(V.UnsupportedArrowSpec):
+        V.arrow_violation_counter([("required", "missing")], schema)
+    with pytest.raises(V.UnsupportedArrowSpec):
+        V.arrow_violation_counter([("format", "a", "custom-fmt", False, False)], schema)
+    with pytest.raises(V.UnsupportedArrowSpec):
+        # const on timestamp would rely on lit() string->timestamp coercion
+        V.arrow_violation_counter([("const", "t", "2026-01-01")], schema)
+    with pytest.raises(V.UnsupportedArrowSpec):
+        V.arrow_violation_counter([("enum", "a", (1, 2))], schema)
