@@ -29,7 +29,12 @@ import time
 #         predicates, equality-tested); on a spec hit the separate
 #         violations scan disappears entirely — one table read total.
 #         Miss/unsupported falls back to the rev-5 flow.
-ENGINE_REV = 6
+# rev 7 = incremental spill watcher: the background integrity reduce's
+#         parquet decode is prepaid DURING the scan by a driver tail
+#         thread (validate.IncrementalSpillWatcher) — rev 6 removed the
+#         stages the reduce used to hide behind, exposing 1.6-8 s of
+#         integrity_wait at both parallelism levels in paired rounds.
+ENGINE_REV = 7
 
 
 def main():

@@ -114,10 +114,20 @@ def _fused_task(
     st, rows = fold_batches_columnar(tee(batches), config, order_cols)
     out = list(integrity_fold(iter(kept)))
     if out:
-        pq.write_table(
-            pa.Table.from_batches(out),
-            os.path.join(out_dir, f"part-{i:05d}.parquet"),
+        # write-then-rename: the IncrementalSpillWatcher tails this
+        # directory DURING the scan, so a part file must become visible
+        # under its final name only when complete (rename is atomic; the
+        # pid suffix keeps concurrent attempts from sharing a temp file)
+        # the leading dot keeps a torn tmp (writer killed mid-write)
+        # invisible to every reader: pyarrow dataset discovery and Spark
+        # both ignore dot-files, and the watcher/cold globs match only
+        # the final name
+        final = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        tmp = os.path.join(
+            out_dir, f".part-{i:05d}.parquet.inprogress-{os.getpid()}"
         )
+        pq.write_table(pa.Table.from_batches(out), tmp)
+        os.replace(tmp, final)
     if violation_spec is not None:
         import numpy as np
 
@@ -212,6 +222,30 @@ def infer_and_integrity_parquet(
             violation_spec,
         )
 
+    # Overlap the spill reduce with the scan itself: a driver-side tail
+    # thread decodes each part file as soon as its task lands it, so the
+    # post-scan reduce only runs the in-memory merge kernel (the rev-6
+    # one-scan pipeline removed the stages that used to hide this cost —
+    # see IncrementalSpillWatcher). Only for 'auto', whose small-spill
+    # branch the watcher reproduces bit-identically; explicit distributed
+    # strategies skip it.
+    watcher = None
+    if distinct_strategy == "auto":
+        from .validate import IncrementalSpillWatcher
+
+        watcher = IncrementalSpillWatcher(
+            out_dir, max_bytes=local_merge_max_bytes
+        )
+
+    def _reduce_spills():
+        if watcher is not None:
+            got = watcher.finalize()
+            if got is not None:
+                return got
+        return reduce_spilled_partials(
+            spark, out_dir, distinct_strategy, local_merge_max_bytes
+        )
+
     cleanup_owned_by_future = False
     try:
         rdd = spark.sparkContext.parallelize(
@@ -256,9 +290,7 @@ def infer_and_integrity_parquet(
 
             def _reduce_then_cleanup():
                 try:
-                    return reduce_spilled_partials(
-                        spark, out_dir, distinct_strategy, local_merge_max_bytes
-                    )
+                    return _reduce_spills()
                 finally:
                     if spill_dir is None:
                         shutil.rmtree(out_dir, ignore_errors=True)
@@ -269,13 +301,13 @@ def infer_and_integrity_parquet(
             if violation_spec is not None:
                 return res, fut, dict(zip(vnames, (int(v) for v in vtotals)))
             return res, fut
-        integ = reduce_spilled_partials(
-            spark, out_dir, distinct_strategy, local_merge_max_bytes
-        )
+        integ = _reduce_spills()
         if violation_spec is not None:
             return res, integ, dict(zip(vnames, (int(v) for v in vtotals)))
         return res, integ
     finally:
+        if watcher is not None:
+            watcher._stop.set()  # idempotent; stops the poller on errors
         if spill_dir is None and not cleanup_owned_by_future:
             shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -1019,44 +1019,62 @@ def _merge_partials_local(table) -> dict:
         rows = np.flatnonzero(multi)
         dup_excess -= int(dup_all[rows].sum())
         bad -= int(bad_all[rows].sum())
-        idx = pa.array(rows)
-        conv_sub = table.column("conv").take(idx)
-        if isinstance(conv_sub, pa.ChunkedArray):
-            conv_sub = conv_sub.combine_chunks()
-        codes = pc.dictionary_encode(conv_sub).indices.to_numpy(
-            zero_copy_only=False
+        d2, b2 = _judge_multi_subset(
+            table.select(["conv", "n", "mn", "mx", "turns"]).take(
+                pa.array(rows)
+            )
         )
-        G = int(codes.max()) + 1
-        n_turns = np.bincount(codes, weights=n[rows], minlength=G).astype(
-            np.int64
-        )
-        mn = np.full(G, np.iinfo(np.int64).max)
-        np.minimum.at(mn, codes, mn_r[rows])
-        mx = np.full(G, np.iinfo(np.int64).min)
-        np.maximum.at(mx, codes, mx_r[rows])
-        sub = table.column("turns").take(idx)
-        if isinstance(sub, pa.ChunkedArray):
-            sub = sub.combine_chunks()
-        lens = np.diff(sub.offsets.to_numpy())
-        flat = sub.flatten().to_numpy(zero_copy_only=False)
-        rep = np.repeat(codes.astype(np.int64, copy=False), lens)
-        # exact distinct per conv via one composite-key unique. The +2^31
-        # bias maps any int32 turn value into [0, 2^32), so the >>32 code
-        # recovery is exact even for negative turn indices (without it a
-        # negative turn would floor-shift into the neighboring conv code).
-        key = rep * np.int64(1 << 32) + (
-            flat.astype(np.int64, copy=False) + np.int64(1 << 31)
-        )
-        ukey = np.unique(key)
-        n_distinct = np.bincount(ukey >> np.int64(32), minlength=G)
-        dup_excess += int((n_turns - n_distinct).sum())
-        bad += int(
-            (
-                (mn != 0) | (mx != n_distinct - 1) | (n_distinct != n_turns)
-            ).sum()
-        )
+        dup_excess += d2
+        bad += b2
 
     return {"dup_rows_excess": dup_excess, "ordering_violations": bad}
+
+
+def _judge_multi_subset(sub) -> tuple:
+    """Exact per-conv judgment of partial rows whose conv may span map
+    tasks (arrow table with conv/n/mn/mx/turns): groups by the TRUE conv
+    string, unions the turn sets via one composite-key unique, and returns
+    this subset's (dup_rows_excess, ordering_violations) contribution.
+    Shared by `_merge_partials_local` (its multi branch) and
+    `IncrementalSpillWatcher._resolve` — one kernel, one set of tests."""
+    import numpy as np
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    conv_sub = sub.column("conv")
+    if isinstance(conv_sub, pa.ChunkedArray):
+        conv_sub = conv_sub.combine_chunks()
+    codes = pc.dictionary_encode(conv_sub).indices.to_numpy(
+        zero_copy_only=False
+    )
+    G = int(codes.max()) + 1
+    n_sub = sub.column("n").to_numpy(zero_copy_only=False)
+    n_turns = np.bincount(codes, weights=n_sub, minlength=G).astype(np.int64)
+    mn = np.full(G, np.iinfo(np.int64).max)
+    np.minimum.at(mn, codes, sub.column("mn").to_numpy(zero_copy_only=False))
+    mx = np.full(G, np.iinfo(np.int64).min)
+    np.maximum.at(mx, codes, sub.column("mx").to_numpy(zero_copy_only=False))
+    turns = sub.column("turns")
+    if isinstance(turns, pa.ChunkedArray):
+        turns = turns.combine_chunks()
+    lens = np.diff(turns.offsets.to_numpy())
+    flat = turns.flatten().to_numpy(zero_copy_only=False)
+    rep = np.repeat(codes.astype(np.int64, copy=False), lens)
+    # exact distinct per conv via one composite-key unique. The +2^31
+    # bias maps any int32 turn value into [0, 2^32), so the >>32 code
+    # recovery is exact even for negative turn indices (without it a
+    # negative turn would floor-shift into the neighboring conv code).
+    key = rep * np.int64(1 << 32) + (
+        flat.astype(np.int64, copy=False) + np.int64(1 << 31)
+    )
+    ukey = np.unique(key)
+    n_distinct = np.bincount(ukey >> np.int64(32), minlength=G)
+    dup_excess = int((n_turns - n_distinct).sum())
+    bad = int(
+        ((mn != 0) | (mx != n_distinct - 1) | (n_distinct != n_turns)).sum()
+    )
+    return dup_excess, bad
 
 
 def transcript_integrity_parquet(
@@ -1240,15 +1258,285 @@ def reduce_spilled_partials(
     strategy = distinct_strategy
     if strategy == "auto":
         if sum(os.path.getsize(p) for p in spilled) <= local_merge_max_bytes:
+            import pyarrow as _pa
             import pyarrow.parquet as _pq
 
-            return _merge_partials_local(_pq.read_table(out_dir))
+            # read the globbed part files, not the directory: a torn
+            # tmp file from a killed writer must never reach the reader
+            return _merge_partials_local(
+                _pa.concat_tables(
+                    [_pq.read_table(p) for p in sorted(spilled)]
+                )
+            )
         strategy = "split"
     if strategy == "tree":
         return _integrity_reduce_tree(spark, sorted(spilled))
     return _integrity_reduce(
         spark.read.parquet(out_dir), strategy=strategy, reuse="rescan"
     )
+
+
+class IncrementalSpillWatcher:
+    """Consume completed integrity spill files WHILE the fused scan is
+    still running, so the post-scan integrity reduce stops being a serial
+    tail. Rev 6 made this the engine's largest remaining Amdahl term: the
+    one-scan pipeline removed the compile + violations stages the
+    background reduce used to hide behind, and paired rounds immediately
+    showed 1.6-3.4 s of ``integrity_wait`` at BOTH parallelism levels —
+    ~15-20% of the whole local[4] job, a direct efficiency cap.
+
+    Everything except the cross-file duplicate resolution is additive
+    per file, so it is ALL prepaid as each file lands (measured at the
+    5M-conv bench spill: parquet decode ~2.8 s, single-part row
+    judgment ~1.7 s cold, ch duplicate pass ~1.0 s — together the whole
+    3-4.4 s wait):
+
+    - read + decode the part file;
+    - the single-part judgment sums ``(n - ndl).sum()`` and the dense
+      0..n-1 predicate count — exactly `_merge_partials_local`'s
+      all-rows totals, which are per-row and hence per-file additive;
+    - the file's sorted ``ch`` hashes are insertion-merged (searchsorted
+      + one O(n) memcpy) into a running sorted array.
+
+    finalize() then only: flags duplicate ch VALUES with one equal-
+    neighbor scan over the sorted array (~10 ms), gathers the ~1% of
+    rows whose conv may span files, subtracts their prepaid single-part
+    contributions, and judges them exactly via the same
+    `_judge_multi_subset` kernel `_merge_partials_local` uses (union of
+    true per-conv turn sets — ch collisions only route extra rows here,
+    results are collision-proof). Measured finalize: ~0.3-0.5 s versus
+    the 3-4.4 s cold reduce.
+
+    The watcher aborts (finalize -> None) and the caller falls back to
+    `reduce_spilled_partials` when: a file lacks the current spill
+    schema (``ch``/``ndl`` present, ``ch`` null-free), accumulated bytes
+    exceed ``max_bytes`` (the same cap that routes the cold path to the
+    distributed ``split`` reduce), or the thread hit any exception.
+    Spill files are only read, never deleted — the fallback and the
+    caller's cleanup see the directory untouched.
+
+    Safe-by-construction file visibility: `pipeline._fused_task` writes
+    ``part-*.parquet.inprogress-<pid>`` and `os.replace`s to the final
+    name, so the ``part-*.parquet`` glob only ever matches complete
+    files; a task retry re-replacing a consumed file swaps in
+    byte-identical content (the fold is deterministic) and an open
+    handle keeps reading the old inode. On a real cluster this thread
+    is free driver hardware, exactly like the background reduce it
+    feeds."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        poll_secs: float = 0.2,
+        max_bytes: int = 256 << 20,
+    ):
+        import glob as _glob
+        import os as _os
+
+        self._dir = out_dir
+        self._glob = lambda: _glob.glob(_os.path.join(out_dir, "part-*.parquet"))
+        self._getsize = _os.path.getsize
+        self._poll = poll_secs
+        self._max_bytes = max_bytes
+        self._seen: set = set()
+        self._files: list = []  # (table, ch, n, mn, mx, ndl) per file
+        self._ch_sorted = None  # running sorted int64 array of all ch
+        self._pending_ch: list = []  # sorted per-file chunks, folded in batches
+        self._dup_sum = 0  # prepaid single-part totals (additive)
+        self._bad_sum = 0
+        self._bytes = 0
+        self._aborted = False
+        self._error: BaseException | None = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="jis-spill-watcher", daemon=True
+        )
+        self._thread.start()
+
+    def _consume_ready(self) -> None:
+        import numpy as np
+
+        import pyarrow.parquet as _pq
+
+        for p in sorted(self._glob()):
+            if p in self._seen or self._aborted:
+                continue
+            self._seen.add(p)
+            self._bytes += self._getsize(p)
+            if self._bytes > self._max_bytes:
+                # same size rule that sends the cold path distributed;
+                # drop decoded state, keep files for the fallback
+                self._abort()
+                return
+            t = _pq.read_table(p)
+            names = t.schema.names
+            if (
+                "ch" not in names
+                or "ndl" not in names
+                or t.column("ch").null_count != 0
+                or (self._files and t.schema != self._files[0][0].schema)
+            ):
+                self._abort()
+                return
+            ch = t.column("ch").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            mn = t.column("mn").to_numpy(zero_copy_only=False)
+            mx = t.column("mx").to_numpy(zero_copy_only=False)
+            ndl = t.column("ndl").to_numpy(zero_copy_only=False)
+            # prepay the single-part judgment: per-row, hence additive
+            self._dup_sum += int((n - ndl).sum())
+            self._bad_sum += int(
+                ((mn != 0) | (mx != ndl - 1) | (ndl != n)).sum()
+            )
+            # one argsort gives both the file's sorted hashes (for the
+            # global dup-value detection) and the original-row order (so
+            # finalize can map matched sorted positions back to rows
+            # without a per-row membership pass)
+            order = np.argsort(ch, kind="stable")
+            srt = ch[order]
+            # batch the sorted-merge: rewriting the global array per file
+            # costs O(total) each time — queue sorted chunks and fold
+            # every ~8 files, leaving finalize at most one small batch
+            # even when a whole task wave lands at scan end
+            self._pending_ch.append(srt)
+            if len(self._pending_ch) >= 8:
+                self._fold_pending()
+            self._files.append((t, n, mn, mx, ndl, srt, order))
+
+    def _fold_pending(self) -> None:
+        import numpy as np
+
+        if not self._pending_ch:
+            return
+        batch = (
+            self._pending_ch[0]
+            if len(self._pending_ch) == 1
+            else np.sort(np.concatenate(self._pending_ch))
+        )
+        self._pending_ch = []
+        if self._ch_sorted is None:
+            self._ch_sorted = batch
+        else:
+            # manual two-run merge: np.insert's fancy-index path costs
+            # ~0.7 s at 5M elements; this is two allocations + scatter
+            big = self._ch_sorted
+            pos = np.searchsorted(big, batch)
+            out = np.empty(big.size + batch.size, dtype=big.dtype)
+            at = pos + np.arange(batch.size)
+            out[at] = batch
+            mask = np.ones(out.size, dtype=bool)
+            mask[at] = False
+            out[mask] = big
+            self._ch_sorted = out
+
+    def _abort(self) -> None:
+        self._aborted = True
+        self._files = []
+        self._ch_sorted = None
+        self._pending_ch = []
+
+    def _run(self) -> None:
+        try:
+            while not self._stop.wait(self._poll):
+                self._consume_ready()
+                if self._aborted:
+                    return
+        except BaseException as e:  # surfaced via finalize -> fallback
+            self._error = e
+            self._abort()
+
+    def finalize(self) -> dict | None:
+        """Join the poller, consume any files it hadn't seen, resolve the
+        cross-file duplicates, and return the final counts — or None when
+        the incremental path bailed (the caller must fall back to
+        `reduce_spilled_partials`)."""
+        self._stop.set()
+        self._thread.join()
+        if not self._aborted:
+            try:
+                self._consume_ready()
+            except BaseException as e:
+                self._error = e
+                self._abort()
+        if self._aborted:
+            if self._error is not None:
+                import warnings
+
+                warnings.warn(
+                    "IncrementalSpillWatcher failed; falling back to the "
+                    f"cold spill reduce: {self._error!r}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            return None
+        if not self._files:
+            return {"dup_rows_excess": 0, "ordering_violations": 0}
+        try:
+            return self._resolve()
+        except BaseException as e:
+            self._error = e
+            import warnings
+
+            warnings.warn(
+                "IncrementalSpillWatcher finalize failed; falling back to "
+                f"the cold spill reduce: {e!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return None
+
+    def _resolve(self) -> dict:
+        import numpy as np
+
+        import pyarrow as pa
+
+        self._fold_pending()
+        # duplicate ch VALUES = equal neighbors in the sorted array; a
+        # value repeated within ONE file is included too (same semantics
+        # as _merge_partials_local's duplicated(keep=False) mask)
+        s = self._ch_sorted
+        dup_excess, bad = self._dup_sum, self._bad_sum
+        dup_vals = np.unique(s[1:][s[1:] == s[:-1]])
+        if dup_vals.size:
+            # inverted membership: search the (few) duplicate values into
+            # each file's sorted hashes — O(dups x log rows) + matched,
+            # instead of a per-row pass over 5M hashes whose fresh 40 MB
+            # allocations are exactly what this host's degraded windows
+            # punish. Matched sorted positions map back to original rows
+            # through the prepaid argsort.
+            subs = []
+            for t, n, mn, mx, ndl, srt, order in self._files:
+                lo = np.searchsorted(srt, dup_vals, side="left")
+                hi = np.searchsorted(srt, dup_vals, side="right")
+                cnt = hi - lo
+                nz = cnt > 0
+                total = int(cnt[nz].sum())
+                if not total:
+                    continue
+                starts = lo[nz]
+                lens = cnt[nz]
+                ends = np.cumsum(lens)
+                # concatenated ranges [starts_k, starts_k + lens_k)
+                idx_sorted = (
+                    np.arange(total)
+                    - np.repeat(ends - lens, lens)
+                    + np.repeat(starts, lens)
+                )
+                rows = np.sort(order[idx_sorted])
+                # un-prepay the single-part judgment of spanning rows
+                dup_excess -= int((n - ndl)[rows].sum())
+                bad -= int(
+                    ((mn != 0) | (mx != ndl - 1) | (ndl != n))[rows].sum()
+                )
+                subs.append(
+                    t.select(["conv", "n", "mn", "mx", "turns"]).take(
+                        pa.array(rows)
+                    )
+                )
+            d2, b2 = _judge_multi_subset(pa.concat_tables(subs))
+            dup_excess += d2
+            bad += b2
+        return {"dup_rows_excess": dup_excess, "ordering_violations": bad}
 
 
 def _consolidate_partials(table):

@@ -416,6 +416,167 @@ def test_merge_partials_local_hash_path_and_collisions():
     assert V._merge_partials_local(mixed) == want
 
 
+def _spill_tables():
+    """Two genuine-shaped spill tables (ch + ndl, like _fused_task writes):
+    conv "a" spans both files with a duplicate turn and a non-zero start;
+    everything else is clean."""
+    import pyarrow as pa
+
+    import pandas as pd
+
+    def tbl(convs, ns, mns, mxs, turns):
+        ch = pd.util.hash_array(
+            pa.array(convs).to_numpy(zero_copy_only=False).astype(object)
+        ).view("int64")
+        return pa.table(
+            {
+                "conv": pa.array(convs, type=pa.string()),
+                "ch": pa.array(ch, type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+                "mn": pa.array(mns, type=pa.int32()),
+                "mx": pa.array(mxs, type=pa.int32()),
+                "ndl": pa.array([len(t) for t in turns], type=pa.int64()),
+                "turns": pa.array(turns, type=pa.list_(pa.int32())),
+            }
+        )
+
+    t1 = tbl(["a", "b"], [3, 3], [1, 0], [3, 2], [[1, 2, 3], [0, 1, 2]])
+    t2 = tbl(["a", "c"], [2, 2], [3, 0], [4, 1], [[3, 4], [0, 1]])
+    # conv a: n=5, union{1,2,3,4}=4 -> 1 dup excess; mn=1 -> ordering bad
+    return t1, t2
+
+
+def test_incremental_spill_watcher_matches_cold(tmp_path):
+    """The watcher's overlapped consume + finalize is bit-identical to the
+    cold reduce_spilled_partials path on the same directory, including
+    files that land AFTER the watcher started."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    t1, t2 = _spill_tables()
+    d = str(tmp_path)
+    pq.write_table(t1, f"{d}/part-00000.parquet")
+    w = V.IncrementalSpillWatcher(d, poll_secs=0.01)
+    deadline = _time.time() + 5
+    while not w._files and _time.time() < deadline:
+        _time.sleep(0.01)
+    assert w._files, "watcher never consumed the first file"
+    pq.write_table(t2, f"{d}/part-00001.parquet")  # late arrival
+    got = w.finalize()
+    want = V._merge_partials_local(pq.read_table(d))
+    assert got == want == {"dup_rows_excess": 1, "ordering_violations": 1}
+    # cold path on the untouched directory agrees (spark unused locally)
+    assert V.reduce_spilled_partials(None, d) == want
+
+
+def test_incremental_spill_watcher_ignores_inprogress(tmp_path):
+    """A torn ``.part-*.inprogress-<pid>`` temp file (writer killed between
+    write and rename) is invisible to the watcher's glob AND to the cold
+    path's reader."""
+    import pyarrow.parquet as pq
+
+    t1, t2 = _spill_tables()
+    d = str(tmp_path)
+    pq.write_table(t1, f"{d}/part-00000.parquet")
+    with open(f"{d}/.part-00001.parquet.inprogress-42", "wb") as f:
+        f.write(b"not a parquet footer")
+    w = V.IncrementalSpillWatcher(d, poll_secs=0.01)
+    got = w.finalize()
+    assert got == V._merge_partials_local(t1)
+    pq.write_table(t2, f"{d}/part-00001.parquet")
+    assert V.reduce_spilled_partials(None, d) == V._merge_partials_local(
+        __import__("pyarrow").concat_tables([t1, t2])
+    )
+
+
+def test_incremental_spill_watcher_overflow_and_mismatch_fall_back(tmp_path):
+    """Byte-budget overflow and a schema-mismatched file both abort the
+    incremental path (finalize -> None) with the directory left intact for
+    the cold fallback."""
+    import pyarrow.parquet as pq
+
+    t1, t2 = _spill_tables()
+    d1 = str(tmp_path / "overflow")
+    (tmp_path / "overflow").mkdir()
+    pq.write_table(t1, f"{d1}/part-00000.parquet")
+    w = V.IncrementalSpillWatcher(d1, poll_secs=0.01, max_bytes=1)
+    assert w.finalize() is None
+    assert V.reduce_spilled_partials(None, d1) == V._merge_partials_local(t1)
+
+    d2 = str(tmp_path / "mismatch")
+    (tmp_path / "mismatch").mkdir()
+    pq.write_table(t1, f"{d2}/part-00000.parquet")
+    pq.write_table(t2.drop_columns(["ch"]), f"{d2}/part-00001.parquet")
+    w2 = V.IncrementalSpillWatcher(d2, poll_secs=0.01)
+    assert w2.finalize() is None
+
+
+def test_incremental_spill_watcher_empty_dir(tmp_path):
+    w = V.IncrementalSpillWatcher(str(tmp_path), poll_secs=0.01)
+    assert w.finalize() == {"dup_rows_excess": 0, "ordering_violations": 0}
+
+
+def test_incremental_spill_watcher_fuzz_vs_cold(tmp_path):
+    """Seeded fuzz: random per-conv partials scattered over random file
+    splits — watcher finalize must equal the cold kernel on every trial,
+    including negative turns, convs spanning many files, duplicate turns
+    across files, and FORCED ch collisions between different convs."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(20260819)
+    for trial in range(8):
+        n_convs = rng.randint(1, 40)
+        rows = []  # (conv, ch, turns_list)
+        for c in range(n_convs):
+            conv = f"conv{c}"
+            # collide some hashes on purpose: different convs, same ch
+            ch = c % max(1, n_convs // 3) if trial % 2 else c
+            n_parts = rng.choice([1, 1, 1, 2, 3])
+            for _ in range(n_parts):
+                k = rng.randint(1, 5)
+                lo = rng.choice([0, 0, 0, 1, -2])
+                turns = sorted(
+                    rng.sample(range(lo, lo + 8), k)
+                )
+                rows.append((conv, ch, turns))
+        rng.shuffle(rows)
+        n_files = rng.randint(1, max(2, len(rows) // 2))
+        splits = [rows[i::n_files] for i in range(n_files)]
+        d = tmp_path / f"trial{trial}"
+        d.mkdir()
+        for i, chunk in enumerate(c for c in splits if c):
+            tbl = pa.table(
+                {
+                    "conv": pa.array([r[0] for r in chunk], type=pa.string()),
+                    "ch": pa.array([r[1] for r in chunk], type=pa.int64()),
+                    "n": pa.array(
+                        [len(r[2]) + (1 if rng.random() < 0.3 else 0)
+                         for r in chunk],
+                        type=pa.int64(),
+                    ),
+                    "mn": pa.array([min(r[2]) for r in chunk], type=pa.int32()),
+                    "mx": pa.array([max(r[2]) for r in chunk], type=pa.int32()),
+                    "ndl": pa.array([len(r[2]) for r in chunk], type=pa.int64()),
+                    "turns": pa.array(
+                        [r[2] for r in chunk], type=pa.list_(pa.int32())
+                    ),
+                }
+            )
+            pq.write_table(tbl, str(d / f"part-{i:05d}.parquet"))
+        w = V.IncrementalSpillWatcher(str(d), poll_secs=0.005)
+        got = w.finalize()
+        files = sorted(str(p) for p in d.glob("part-*.parquet"))
+        want = V._merge_partials_local(
+            pa.concat_tables([pq.read_table(p) for p in files])
+        )
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_validation_scan_nested_and_concurrent_restore(spark, tx_paths):
     """Same-thread nesting is legal (RLock) and restores confs inside-out;
     a conf another actor re-set DURING the block is kept, not clobbered by
