@@ -34,7 +34,12 @@ import time
 #         thread (validate.IncrementalSpillWatcher) — rev 6 removed the
 #         stages the reduce used to hide behind, exposing 1.6-8 s of
 #         integrity_wait at both parallelism levels in paired rounds.
-ENGINE_REV = 7
+# rev 8 = watcher's incremental ch-merge replaced by ONE finalize radix
+#         sort: rev 7's insertion-merge was O(n²/batch) — 5-7 s of
+#         prepaid memory-bus traffic during the scan plus a 1.75 s
+#         serial tail fold; numpy stable (LSD radix) sort of the
+#         concatenated chunks is ~0.2 s at 5M hashes.
+ENGINE_REV = 8
 
 
 def main():

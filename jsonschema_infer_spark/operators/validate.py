@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 import threading
+import time
 from contextlib import contextmanager
 from dataclasses import dataclass
 
@@ -1288,20 +1289,23 @@ class IncrementalSpillWatcher:
     Everything except the cross-file duplicate resolution is additive
     per file, so it is ALL prepaid as each file lands (measured at the
     5M-conv bench spill: parquet decode ~2.8 s, single-part row
-    judgment ~1.7 s cold, ch duplicate pass ~1.0 s — together the whole
-    3-4.4 s wait):
+    judgment ~1.7 s cold — together most of the 3-4.4 s cold wait):
 
     - read + decode the part file;
     - the single-part judgment sums ``(n - ndl).sum()`` and the dense
       0..n-1 predicate count — exactly `_merge_partials_local`'s
       all-rows totals, which are per-row and hence per-file additive;
-    - the file's sorted ``ch`` hashes are insertion-merged (searchsorted
-      + one O(n) memcpy) into a running sorted array.
+    - the file's ``ch`` hashes are argsorted once (the sorted copy and
+      the row order are both reused by finalize's dup resolution).
 
-    finalize() then only: flags duplicate ch VALUES with one equal-
-    neighbor scan over the sorted array (~10 ms), gathers the ~1% of
-    rows whose conv may span files, subtracts their prepaid single-part
-    contributions, and judges them exactly via the same
+    finalize() then: concatenates the per-file sorted chunks and radix-
+    sorts them ONCE (numpy ``kind='stable'`` is LSD radix for int64 —
+    ~0.2 s at 5M hashes; rev 7's incremental insertion-merge spent
+    5-7 s of prepaid memory-bus traffic during the scan plus a 1.75 s
+    serial tail fold, an O(n²/batch) pessimization this replaces), flags
+    duplicate ch VALUES with one equal-neighbor scan (~10 ms), gathers
+    the ~1% of rows whose conv may span files, subtracts their prepaid
+    single-part contributions, and judges them exactly via the same
     `_judge_multi_subset` kernel `_merge_partials_local` uses (union of
     true per-conv turn sets — ch collisions only route extra rows here,
     results are collision-proof). Measured finalize: ~0.3-0.5 s versus
@@ -1339,12 +1343,27 @@ class IncrementalSpillWatcher:
         self._poll = poll_secs
         self._max_bytes = max_bytes
         self._seen: set = set()
-        self._files: list = []  # (table, ch, n, mn, mx, ndl) per file
-        self._ch_sorted = None  # running sorted int64 array of all ch
-        self._pending_ch: list = []  # sorted per-file chunks, folded in batches
+        # (table, n, mn, mx, ndl, ch_sorted, argsort_order) per file;
+        # the global duplicate scan sorts the concatenated chunks once
+        # in _resolve (radix), so no running merged array is kept
+        self._files: list = []
         self._dup_sum = 0  # prepaid single-part totals (additive)
         self._bad_sum = 0
         self._bytes = 0
+        # cheap wall-time accounting: where the prepay/finalize seconds go
+        # (read by bench diagnostics; a handful of time.time() calls)
+        self.stats: dict = {
+            "files_total": 0,
+            "files_finalize": 0,  # consumed inside finalize (tail wave)
+            "decode_secs": 0.0,
+            "prep_secs": 0.0,  # numpy post-decode (sums, argsort)
+            "resolve_secs": 0.0,
+            "finalize_consume_secs": 0.0,
+            "join_wait_secs": 0.0,
+            "dup_vals": 0,
+            "matched_rows": 0,
+        }
+        self._in_finalize = False
         self._aborted = False
         self._error: BaseException | None = None
         self._stop = threading.Event()
@@ -1368,7 +1387,12 @@ class IncrementalSpillWatcher:
                 # drop decoded state, keep files for the fallback
                 self._abort()
                 return
+            _t0 = time.time()
             t = _pq.read_table(p)
+            self.stats["decode_secs"] += time.time() - _t0
+            self.stats["files_total"] += 1
+            if self._in_finalize:
+                self.stats["files_finalize"] += 1
             names = t.schema.names
             if (
                 "ch" not in names
@@ -1378,6 +1402,7 @@ class IncrementalSpillWatcher:
             ):
                 self._abort()
                 return
+            _t0 = time.time()
             ch = t.column("ch").to_numpy(zero_copy_only=False)
             n = t.column("n").to_numpy(zero_copy_only=False)
             mn = t.column("mn").to_numpy(zero_copy_only=False)
@@ -1388,52 +1413,19 @@ class IncrementalSpillWatcher:
             self._bad_sum += int(
                 ((mn != 0) | (mx != ndl - 1) | (ndl != n)).sum()
             )
-            # one argsort gives both the file's sorted hashes (for the
-            # global dup-value detection) and the original-row order (so
+            # one argsort gives both the file's sorted hashes (reused by
+            # the global dup-value detection's final radix sort and the
+            # per-file matched-row search) and the original-row order (so
             # finalize can map matched sorted positions back to rows
             # without a per-row membership pass)
             order = np.argsort(ch, kind="stable")
             srt = ch[order]
-            # batch the sorted-merge: rewriting the global array per file
-            # costs O(total) each time — queue sorted chunks and fold
-            # every ~8 files, leaving finalize at most one small batch
-            # even when a whole task wave lands at scan end
-            self._pending_ch.append(srt)
-            if len(self._pending_ch) >= 8:
-                self._fold_pending()
+            self.stats["prep_secs"] += time.time() - _t0
             self._files.append((t, n, mn, mx, ndl, srt, order))
-
-    def _fold_pending(self) -> None:
-        import numpy as np
-
-        if not self._pending_ch:
-            return
-        batch = (
-            self._pending_ch[0]
-            if len(self._pending_ch) == 1
-            else np.sort(np.concatenate(self._pending_ch))
-        )
-        self._pending_ch = []
-        if self._ch_sorted is None:
-            self._ch_sorted = batch
-        else:
-            # manual two-run merge: np.insert's fancy-index path costs
-            # ~0.7 s at 5M elements; this is two allocations + scatter
-            big = self._ch_sorted
-            pos = np.searchsorted(big, batch)
-            out = np.empty(big.size + batch.size, dtype=big.dtype)
-            at = pos + np.arange(batch.size)
-            out[at] = batch
-            mask = np.ones(out.size, dtype=bool)
-            mask[at] = False
-            out[mask] = big
-            self._ch_sorted = out
 
     def _abort(self) -> None:
         self._aborted = True
         self._files = []
-        self._ch_sorted = None
-        self._pending_ch = []
 
     def _run(self) -> None:
         try:
@@ -1450,11 +1442,16 @@ class IncrementalSpillWatcher:
         cross-file duplicates, and return the final counts — or None when
         the incremental path bailed (the caller must fall back to
         `reduce_spilled_partials`)."""
+        _t0 = time.time()
         self._stop.set()
         self._thread.join()
+        self.stats["join_wait_secs"] = time.time() - _t0
         if not self._aborted:
             try:
+                _t0 = time.time()
+                self._in_finalize = True
                 self._consume_ready()
+                self.stats["finalize_consume_secs"] = time.time() - _t0
             except BaseException as e:
                 self._error = e
                 self._abort()
@@ -1472,7 +1469,10 @@ class IncrementalSpillWatcher:
         if not self._files:
             return {"dup_rows_excess": 0, "ordering_violations": 0}
         try:
-            return self._resolve()
+            _t0 = time.time()
+            out = self._resolve()
+            self.stats["resolve_secs"] = time.time() - _t0
+            return out
         except BaseException as e:
             self._error = e
             import warnings
@@ -1490,13 +1490,20 @@ class IncrementalSpillWatcher:
 
         import pyarrow as pa
 
-        self._fold_pending()
+        # ONE radix sort of the concatenated per-file (already sorted)
+        # chunks — numpy kind='stable' on int64 is LSD radix, ~0.2 s at
+        # 5M hashes, cheaper in total than any incremental merge and,
+        # crucially, not a per-file memory-bus tax during the scan
+        _t0 = time.time()
+        s = np.concatenate([f[5] for f in self._files])
+        s = np.sort(s, kind="stable")
+        self.stats["resolve_sort_secs"] = time.time() - _t0
         # duplicate ch VALUES = equal neighbors in the sorted array; a
         # value repeated within ONE file is included too (same semantics
         # as _merge_partials_local's duplicated(keep=False) mask)
-        s = self._ch_sorted
         dup_excess, bad = self._dup_sum, self._bad_sum
         dup_vals = np.unique(s[1:][s[1:] == s[:-1]])
+        self.stats["dup_vals"] = int(dup_vals.size)
         if dup_vals.size:
             # inverted membership: search the (few) duplicate values into
             # each file's sorted hashes — O(dups x log rows) + matched,
@@ -1505,6 +1512,7 @@ class IncrementalSpillWatcher:
             # punish. Matched sorted positions map back to original rows
             # through the prepaid argsort.
             subs = []
+            _tscan = time.time()
             for t, n, mn, mx, ndl, srt, order in self._files:
                 lo = np.searchsorted(srt, dup_vals, side="left")
                 hi = np.searchsorted(srt, dup_vals, side="right")
@@ -1528,12 +1536,16 @@ class IncrementalSpillWatcher:
                 bad -= int(
                     ((mn != 0) | (mx != ndl - 1) | (ndl != n))[rows].sum()
                 )
+                self.stats["matched_rows"] += total
                 subs.append(
                     t.select(["conv", "n", "mn", "mx", "turns"]).take(
                         pa.array(rows)
                     )
                 )
+            _tj = time.time()
+            self.stats["resolve_scan_secs"] = _tj - _tscan
             d2, b2 = _judge_multi_subset(pa.concat_tables(subs))
+            self.stats["resolve_judge_secs"] = time.time() - _tj
             dup_excess += d2
             bad += b2
         return {"dup_rows_excess": dup_excess, "ordering_violations": bad}
