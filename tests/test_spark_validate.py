@@ -468,6 +468,13 @@ def test_incremental_spill_watcher_matches_cold(tmp_path):
     assert got == want == {"dup_rows_excess": 1, "ordering_violations": 1}
     # cold path on the untouched directory agrees (spark unused locally)
     assert V.reduce_spilled_partials(None, d) == want
+    # the stats surface bench/diag_integrity_wait.py reads: every file
+    # accounted for, the one-shot resolve sort timed, dup values found
+    assert w.stats["files_total"] == 2
+    assert w.stats["dup_vals"] >= 1
+    assert w.stats["matched_rows"] >= 2
+    assert w.stats["resolve_sort_secs"] >= 0.0
+    assert w.stats["decode_secs"] > 0.0
 
 
 def test_incremental_spill_watcher_ignores_inprogress(tmp_path):
