@@ -531,6 +531,13 @@ def main():
         for r in rounds
         if r["healthy_base"] and r.get("stages1") and r.get("stages4")
     ]
+    # scope the stage table to the CURRENT engine when the sample allows:
+    # mixing revisions misattributes (e.g. pre-rev-6 rounds still carry a
+    # real violations stage that the one-scan pipeline fused away)
+    staged_cur = [r for r in staged if _round_rev(r) == max_rev]
+    stage_scope = "current-engine " if len(staged_cur) >= 4 else ""
+    if len(staged_cur) >= 4:
+        staged = staged_cur
     if staged:
         import statistics as _st
 
@@ -542,6 +549,13 @@ def main():
                 if r["stages4"].get(s)
             ]
             t1m = _st.median(r["stages1"][s] for r in staged)
+            if t1m < 0.5:
+                # a near-zero stage's 1->4 ratio is quantization noise
+                # (e.g. compile after the one-scan fusion); report its
+                # (negligible) cost, not a meaningless efficiency
+                if t1m > 0.0:
+                    stage_lines.append(f"{s} negligible (median t1 {round(t1m, 2)}s)")
+                continue
             if effs:
                 stage_lines.append(
                     f"{s} {round(_st.median(effs), 3)} "
@@ -558,11 +572,10 @@ def main():
                 f"{_st.median(waits)}s at local[4]"
             )
         lines += [
-            "Per-stage 1 -> 4 efficiency (median over healthy-base rounds "
-            f"carrying stage timings, n={len(staged)}): "
+            f"Per-stage 1 -> 4 efficiency (median over {stage_scope}"
+            f"healthy-base rounds carrying stage timings, n={len(staged)}): "
             + "; ".join(stage_lines)
-            + ". This splits a low round's loss between the fused scan, "
-            "the fixed-cost constraint compile, and the violations pass "
+            + ". This attributes a low round's loss to a specific stage "
             "instead of treating the job as one opaque ratio.",
             "",
         ]
