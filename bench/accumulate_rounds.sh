@@ -12,12 +12,13 @@ DEADLINE="${DEADLINE:?set DEADLINE (unix epoch)}"
 
 count_current() {
 python3 - <<'PY'
-import json
+import json, re
+# the SHIPPED engine revision, not the max present in the pool — before
+# the first post-bump round lands, the pool's max lags the code
+src = open("bench/pipeline_job.py").read()
+mx = int(re.search(r"^ENGINE_REV = (\d+)", src, re.M).group(1))
 d = json.load(open("BENCH/scale_evidence.json"))
-rounds = d["rounds"]
-revs = [r.get("rev1") for r in rounds if r.get("rev1") is not None and r.get("rev1") == r.get("rev4")]
-mx = max(revs) if revs else 0
-cur = [r for r in rounds if r.get("rev1") == mx and r.get("rev4") == mx
+cur = [r for r in d["rounds"] if r.get("rev1") == mx and r.get("rev4") == mx
        and r.get("healthy_base") and not r.get("mixed_code")]
 print(len(cur))
 PY
