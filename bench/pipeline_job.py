@@ -39,7 +39,15 @@ import time
 #         prepaid memory-bus traffic during the scan plus a 1.75 s
 #         serial tail fold; numpy stable (LSD radix) sort of the
 #         concatenated chunks is ~0.2 s at 5M hashes.
-ENGINE_REV = 8
+# rev 9 = finalize made allocation-free: rev 8's concat+radix allocated
+#         ~80 MB fresh AT finalize, and this host's fault-servicing
+#         degradation (100x, invisible to bandwidth probes that pass at
+#         3 GB/s moments later) turned that 0.2 s into 5-10 s of
+#         integrity_wait in half the paired rounds. The watcher now
+#         copies chunks into a growing pre-faulted buffer DURING the
+#         scan and finalize runs one in-place introsort (~0.07-0.35 s
+#         in every host state).
+ENGINE_REV = 9
 
 
 def main():
@@ -141,6 +149,14 @@ def main():
     t = time.time()
     integ = integ_fut.result()
     t_integ_wait = time.time() - t
+    w = getattr(integ_fut, "watcher", None)
+    integ_stats = None
+    if w is not None:
+        integ_stats = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in w.stats.items()
+        }
+        integ_stats["aborted"] = bool(w._aborted)
     n_dup = integ["dup_rows_excess"]
     n_ord = integ["ordering_violations"]
     secs = time.time() - t0
@@ -164,6 +180,8 @@ def main():
             # the violations pass returned (0.0 = fully hidden)
             "integrity_wait": round(t_integ_wait, 2),
         },
+        # watcher decomposition of the wait (None on the cold path)
+        "integ_stats": integ_stats,
     }
     with open(args.out, "w") as f:
         json.dump(out, f)

@@ -297,6 +297,7 @@ def infer_and_integrity_parquet(
 
             fut = pool.submit(_reduce_then_cleanup)
             pool.shutdown(wait=False)  # thread finishes; submit no more
+            fut.watcher = watcher  # expose stats/abort state to callers
             cleanup_owned_by_future = True
             if violation_spec is not None:
                 return res, fut, dict(zip(vnames, (int(v) for v in vtotals)))

@@ -1296,13 +1296,16 @@ class IncrementalSpillWatcher:
       0..n-1 predicate count — exactly `_merge_partials_local`'s
       all-rows totals, which are per-row and hence per-file additive;
     - the file's ``ch`` hashes are argsorted once (the sorted copy and
-      the row order are both reused by finalize's dup resolution).
+      the row order are both reused by finalize's dup resolution) and
+      copied into one growing pre-faulted buffer (see __init__).
 
-    finalize() then: concatenates the per-file sorted chunks and radix-
-    sorts them ONCE (numpy ``kind='stable'`` is LSD radix for int64 —
-    ~0.2 s at 5M hashes; rev 7's incremental insertion-merge spent
-    5-7 s of prepaid memory-bus traffic during the scan plus a 1.75 s
-    serial tail fold, an O(n²/batch) pessimization this replaces), flags
+    finalize() then: sorts the buffer's filled prefix IN PLACE — one
+    allocation-free introsort, ~0.07-0.35 s at 5M hashes regardless of
+    the host's fault-servicing state (rev 7's incremental
+    insertion-merge spent 5-7 s of prepaid memory-bus traffic during
+    the scan plus a 1.75 s serial tail fold, an O(n²/batch)
+    pessimization; rev 8's finalize-time concat+radix was 0.2 s on a
+    healthy host but 5-10 s inside degraded fault windows), flags
     duplicate ch VALUES with one equal-neighbor scan (~10 ms), gathers
     the ~1% of rows whose conv may span files, subtracts their prepaid
     single-part contributions, and judges them exactly via the same
@@ -1344,9 +1347,20 @@ class IncrementalSpillWatcher:
         self._max_bytes = max_bytes
         self._seen: set = set()
         # (table, n, mn, mx, ndl, ch_sorted, argsort_order) per file;
-        # the global duplicate scan sorts the concatenated chunks once
-        # in _resolve (radix), so no running merged array is kept
+        # each file's hashes are ALSO copied into one geometrically-grown
+        # preallocated buffer as the file lands, so every page the global
+        # duplicate scan touches is faulted DURING the scan — finalize
+        # then sorts the filled prefix in place (allocation-free). On
+        # this host page-fault servicing intermittently degrades ~100x
+        # while raw bandwidth stays healthy, so a finalize-time 40 MB
+        # concat+radix measured 0.2 s or 7 s depending on the moment;
+        # the in-place introsort on pre-faulted pages measures ~0.07 s
+        # in BOTH states. A real cluster's driver prefers this shape
+        # too: the fault cost overlaps the scan instead of serializing
+        # after it.
         self._files: list = []
+        self._buf = None  # int64 buffer; filled prefix = self._len
+        self._len = 0
         self._dup_sum = 0  # prepaid single-part totals (additive)
         self._bad_sum = 0
         self._bytes = 0
@@ -1420,12 +1434,26 @@ class IncrementalSpillWatcher:
             # without a per-row membership pass)
             order = np.argsort(ch, kind="stable")
             srt = ch[order]
+            # copy into the growing pre-faulted buffer (see __init__)
+            need = self._len + srt.size
+            if self._buf is None or need > self._buf.size:
+                cap = max(need, 1 << 20)
+                if self._buf is not None:
+                    cap = max(need, self._buf.size * 2)
+                nb = np.empty(cap, dtype=np.int64)
+                if self._len:
+                    nb[: self._len] = self._buf[: self._len]
+                self._buf = nb
+            self._buf[self._len : need] = srt
+            self._len = need
             self.stats["prep_secs"] += time.time() - _t0
             self._files.append((t, n, mn, mx, ndl, srt, order))
 
     def _abort(self) -> None:
         self._aborted = True
         self._files = []
+        self._buf = None
+        self._len = 0
 
     def _run(self) -> None:
         try:
@@ -1490,13 +1518,13 @@ class IncrementalSpillWatcher:
 
         import pyarrow as pa
 
-        # ONE radix sort of the concatenated per-file (already sorted)
-        # chunks — numpy kind='stable' on int64 is LSD radix, ~0.2 s at
-        # 5M hashes, cheaper in total than any incremental merge and,
-        # crucially, not a per-file memory-bus tax during the scan
+        # ONE in-place introsort of the pre-faulted buffer — zero
+        # allocation at finalize (kind='stable' radix would allocate a
+        # fresh workspace, which this host's degraded fault windows turn
+        # into seconds); ~0.07-0.35 s at 5M hashes in EVERY host state
         _t0 = time.time()
-        s = np.concatenate([f[5] for f in self._files])
-        s = np.sort(s, kind="stable")
+        s = self._buf[: self._len]
+        s.sort(kind="quicksort")
         self.stats["resolve_sort_secs"] = time.time() - _t0
         # duplicate ch VALUES = equal neighbors in the sorted array; a
         # value repeated within ONE file is included too (same semantics
