@@ -236,10 +236,36 @@ def run_transcript_pipeline(spark, path: str) -> dict:
 def run_suite(
     spark, qs, sf_dir: str, n_convs: int, reps: int, pipe_reps: int
 ) -> tuple:
-    """One pass over the headline queries (best of ``reps`` timed runs
-    each, after one warm-up) plus the transcript pipeline (one untimed
-    warm-up, then best of ``pipe_reps``)."""
+    """One pass over the transcript pipeline (one untimed warm-up, then
+    best of ``pipe_reps``) followed by the headline queries (best of
+    ``reps`` timed runs each, after one warm-up).
+
+    The pipeline — the headline turns/sec metric — is measured FIRST,
+    right after the caller's verified-healthy probe: this host's degraded
+    windows arrive on minute timescales that a 15 s probe can't gate, so
+    the most important number must sit closest to the probe instead of
+    ~7 suite-minutes downstream (r4 measured the same steady-state
+    pipeline at 0.87 s in isolation and 2.7 s at the tail of a suite
+    whose mid-window had silently degraded). A mid-suite probe is
+    returned so the output can label a window that collapsed between the
+    pipeline and the query phase."""
     timings: dict = {}
+    tx_path = ensure_bench_transcripts(n_convs)
+    # The pipeline's warm-up curve is long (cold page-cache parquet scan,
+    # codegen, Python-worker fork: rep0 runs 6-10x slower than steady
+    # state, and reps keep improving through ~rep3) — measured 9.9s ->
+    # 1.68 -> 1.49 -> 1.41 -> 1.0s on the 1.84M-row table. One untimed
+    # warm-up plus best-of-N reports the steady-state rate a long-running
+    # cluster sees, matching how the queries below are measured.
+    run_transcript_pipeline(spark, tx_path)  # warm-up, untimed
+    pipe: dict = {}
+    for _ in range(pipe_reps):
+        p = run_transcript_pipeline(spark, tx_path)
+        if not pipe or p["turns_per_sec"] > pipe["turns_per_sec"]:
+            pipe = p
+    timings["transcript_pipeline"] = round(pipe["secs"], 3)
+    mid_g, mid_b, _ = probe_health()
+
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
         # warm-up run: pay whole-stage-codegen compilation + IO cache once,
@@ -252,22 +278,7 @@ def run_suite(
             df.write.format("noop").mode("overwrite").save()  # full exec, no collect
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-
-    tx_path = ensure_bench_transcripts(n_convs)
-    # The pipeline's warm-up curve is long (cold page-cache parquet scan,
-    # codegen, Python-worker fork: rep0 runs 6-10x slower than steady
-    # state, and reps keep improving through ~rep3) — measured 9.9s ->
-    # 1.68 -> 1.49 -> 1.41 -> 1.0s on the 1.84M-row table. One untimed
-    # warm-up plus best-of-N reports the steady-state rate a long-running
-    # cluster sees, matching how the queries above are measured.
-    run_transcript_pipeline(spark, tx_path)  # warm-up, untimed
-    pipe: dict = {}
-    for _ in range(pipe_reps):
-        p = run_transcript_pipeline(spark, tx_path)
-        if not pipe or p["turns_per_sec"] > pipe["turns_per_sec"]:
-            pipe = p
-    timings["transcript_pipeline"] = round(pipe["secs"], 3)
-    return timings, pipe
+    return timings, pipe, {"mid_gbps": mid_g, "mid_burn_s": mid_b}
 
 
 def main() -> None:
@@ -276,7 +287,7 @@ def main() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "300000"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
     pipe_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REPS", "4")))
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 
     from pyspark.sql import SparkSession
 
@@ -304,10 +315,11 @@ def main() -> None:
     probes = []
     for attempt in range(max_attempts):
         pre_g, pre_b = wait_healthy()
-        t, p = run_suite(spark, qs, sf_dir, n_convs, reps, pipe_reps)
+        t, p, mid = run_suite(spark, qs, sf_dir, n_convs, reps, pipe_reps)
         post_g, post_b, post_ok = probe_health()
         probes.append(
             {"pre_gbps": pre_g, "pre_burn_s": pre_b,
+             **mid,
              "post_gbps": post_g, "post_burn_s": post_b}
         )
         timings = {k: min(v, timings.get(k, 1e9)) for k, v in t.items()}
