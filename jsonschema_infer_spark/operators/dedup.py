@@ -321,6 +321,25 @@ def minhash_signature(shingles_col, num_perm: int = 64, hash_fn: str = "xxhash64
     return F.array(*[perm(i) for i in range(num_perm)])
 
 
+def minhash_expected_recall(
+    threshold: float, bands: int, rows_per_band: int
+) -> float:
+    """MinHash-LSH recall FLOOR for ``minhash_lsh_pairs``: the probability
+    that a pair whose Jaccard similarity is exactly ``threshold`` shares at
+    least one band.
+
+    A single minhash agrees with probability j (the Jaccard similarity), a
+    band of r rows matches with j^r, and any-of-``bands`` collision is
+    1 − (1 − j^r)^bands — the classic S-curve (Leskovec/Rajaraman/Ullman
+    ch. 3). Recall is monotone increasing in j, so pairs ABOVE the
+    threshold are recalled at least this often. The curve's waterline sits
+    near (1/bands)^(1/r): banding tuned for high thresholds silently drops
+    moderate-similarity pairs (the sign-LSH twin ``similarity.
+    expected_recall`` documents the same trap for cosine)."""
+    j = max(0.0, min(1.0, threshold))
+    return 1.0 - (1.0 - j**rows_per_band) ** bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -331,6 +350,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     shingles: str = "word",
     hash_fn: str = "xxhash64",
+    min_recall: float = 0.5,
+    on_low_recall: str = "warn",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact verification.
 
@@ -340,6 +361,13 @@ def minhash_lsh_pairs(
     Candidates (tiny vs all-pairs) are then verified with EXACT Jaccard,
     so the output contains no false positives.
 
+    RECALL CONTRACT: pairs at the threshold boundary are found with
+    probability ``minhash_expected_recall(threshold, bands, num_perm //
+    bands)``; when that floor is below ``min_recall`` the call warns (or
+    raises with ``on_low_recall='raise'``; ``'ignore'`` silences). The
+    default 16x4 shape recalls >= 99.96% at threshold 0.8 but only ~33%
+    at threshold 0.35 — low thresholds need more/shorter bands.
+
     hash_fn "md5" swaps the permutation hash for the engine-portable
     md5_hash64 and the band bucket for the comma-joined slice string —
     both exactly reproducible in DuckDB SQL, making the whole operator
@@ -347,6 +375,23 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError("bands must divide num_perm")
+    if on_low_recall not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_low_recall: {on_low_recall!r}")
+    floor = minhash_expected_recall(threshold, bands, rows_per_band)
+    if floor < min_recall and on_low_recall != "ignore":
+        msg = (
+            f"minhash_lsh_pairs: expected recall at threshold {threshold} "
+            f"with {bands} bands x {rows_per_band} rows is only "
+            f"{floor:.3f} (< min_recall={min_recall}); pairs near the "
+            "threshold will mostly be missed. Raise the threshold, use "
+            "more/shorter bands (recall rises, selectivity falls), or "
+            "pass on_low_recall='ignore' to accept the trade."
+        )
+        if on_low_recall == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     sh = char_shingles(F.col(text_col), n) if shingles == "char" else word_shingles(
         F.col(text_col), n
     )

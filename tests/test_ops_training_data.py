@@ -708,6 +708,50 @@ def test_lsh_low_recall_warns_and_raises(spark):
         SIM.lsh_cosine_pairs(df, threshold=0.95, n_planes=64, bands=8)
 
 
+def test_minhash_expected_recall_formula():
+    """Analytic pins of the MinHash-LSH recall floor (the S-curve
+    1-(1-j^r)^b; a single minhash agrees with probability exactly j)."""
+    import pytest
+
+    assert D.minhash_expected_recall(1.0, 16, 4) == pytest.approx(1.0)
+    assert D.minhash_expected_recall(0.0, 16, 4) == pytest.approx(0.0)
+    # the docstring's contract numbers: 16x4 at threshold .8 misses only
+    # (1-.8^4)^16 ~ 3e-4; at threshold .35 recall is ~0.21
+    assert D.minhash_expected_recall(0.8, 16, 4) == pytest.approx(
+        1 - (1 - 0.8**4) ** 16
+    )
+    assert D.minhash_expected_recall(0.8, 16, 4) > 0.999
+    assert 0.15 < D.minhash_expected_recall(0.35, 16, 4) < 0.35
+    # monotone in similarity and in bands
+    assert D.minhash_expected_recall(0.6, 16, 4) > D.minhash_expected_recall(
+        0.5, 16, 4
+    )
+    assert D.minhash_expected_recall(0.5, 32, 4) > D.minhash_expected_recall(
+        0.5, 16, 4
+    )
+
+
+def test_minhash_low_recall_warns_and_raises(spark):
+    import warnings
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    with pytest.warns(RuntimeWarning, match="expected recall"):
+        D.minhash_lsh_pairs(df, threshold=0.3, num_perm=64, bands=16)
+    with pytest.raises(ValueError, match="expected recall"):
+        D.minhash_lsh_pairs(
+            df, threshold=0.3, num_perm=64, bands=16, on_low_recall="raise"
+        )
+    # the default driver shape stays quiet
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        D.minhash_lsh_pairs(df, threshold=0.8, num_perm=64, bands=16)
+
+
 def test_expected_recall_matches_measured_sf001_pairs():
     """The recall FORMULA against MEASURED banding on the real sf0.01
     embeddings with the driver query's exact seeded planes (numpy replica
