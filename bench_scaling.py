@@ -359,6 +359,13 @@ def main():
             r["tp1"] >= 0.75 * ref_tp1
             and r["eff"] <= 1.0
             and not r["mixed_code"]
+            # external_load is set BY HAND (never by this script) on rounds
+            # whose window demonstrably overlapped other CPU work on the
+            # box (e.g. a pytest/bench run next to the accumulator) — the
+            # competitor steals cores from whichever side it overlaps, so
+            # the ratio is an artifact in an unknowable direction. Flagged
+            # rounds stay in the table for transparency but never count.
+            and not r.get("external_load")
         )
     valid = [r["eff"] for r in rounds if r["healthy_base"]]
     valid.sort()
@@ -461,6 +468,10 @@ def main():
         "itself healthy (within 75% of the best local[1] seen) and the",
         "ratio is physically plausible (<= 1.0): a degraded serial rep",
         "INFLATES efficiency, so slow-base rounds are shown but excluded.",
+        "Rounds whose window overlapped other CPU work on the box (a test",
+        "or bench run next to the accumulator) are hand-flagged",
+        "external_load and likewise shown but excluded: the competitor",
+        "steals cores from whichever side it overlaps.",
         "",
         "| round | local[1] turns/s | local[4] turns/s | efficiency | same-window kernel 1->4 | counts? |",
         "|---|---|---|---|---|---|",
@@ -468,6 +479,8 @@ def main():
     for i, r in enumerate(rounds, 1):
         if r["healthy_base"]:
             flag = "yes"
+        elif r.get("external_load"):
+            flag = "no (external CPU load overlapped the round)"
         elif r.get("mixed_code"):
             flag = "no (code changed between the round's two sides)"
         else:
