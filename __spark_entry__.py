@@ -1444,11 +1444,16 @@ def q_embeddings_lsh_pairs(spark, sf_dir):
     per-bit agreement at cos 0.4 is only 0.63, so 8-bit bands recall
     ~18% here; at production near-dup thresholds >= 0.85 the same
     banding recalls >= 90%) — the oracle replays the identical banding,
-    so the approximation itself is what's verified."""
+    so the approximation itself is what's verified. That trade is
+    accepted explicitly (`on_low_recall='ignore'`): the recall contract
+    exists to stop SILENT under-recall, and this docstring is the
+    opposite of silent."""
     from jsonschema_infer_spark.operators.similarity import lsh_cosine_pairs
 
     df = _load(spark, sf_dir, "embeddings")
-    return lsh_cosine_pairs(df, threshold=0.4, n_planes=64, bands=8, seed=42)
+    return lsh_cosine_pairs(
+        df, threshold=0.4, n_planes=64, bands=8, seed=42, on_low_recall="ignore"
+    )
 
 
 def _sql_embeddings_lsh_pairs(
@@ -1483,12 +1488,16 @@ def q_embeddings_lsh_md5(spark, sf_dir):
     quantized projections make every bucket bit exact integer math, so the
     full pipeline (signatures -> band buckets -> candidate join -> exact
     cosine verify) is replayed bit-for-bit by the DuckDB oracle. The
-    Gaussian-plane fast path stays rows-only in embeddings_lsh_pairs."""
+    Gaussian-plane fast path stays rows-only in embeddings_lsh_pairs.
+    Banding is kept small so the oracle replay stays cheap; the resulting
+    moderate recall at this exploratory threshold is an accepted,
+    oracle-mirrored trade (`on_low_recall='ignore'`)."""
     from jsonschema_infer_spark.operators.similarity import lsh_cosine_pairs
 
     df = _load(spark, sf_dir, "embeddings")
     return lsh_cosine_pairs(
-        df, threshold=0.4, n_planes=16, bands=4, plane_fn="md5q"
+        df, threshold=0.4, n_planes=16, bands=4, plane_fn="md5q",
+        on_low_recall="ignore",
     )
 
 
@@ -1852,15 +1861,18 @@ def q_minhash_dups_docs(spark, sf_dir):
     oracled via a signature table computed WITHOUT Spark by the
     spec-derived pure-Python XXH64 (functions/xxh64.py): DuckDB replays
     banding and exact-Jaccard verification from it, so the driver compare
-    cross-checks the JVM hash, the shingling and the whole pair pipeline."""
+    cross-checks the JVM hash, the shingling and the whole pair pipeline.
+    Banding is 16 bands x 4 rows (num_perm=64): recall floor at the 0.5
+    threshold is 1-(1-0.5^4)^16 ~= 0.644 >= min_recall, so the engine's
+    recall contract passes without warning (r4 shipped 8x4, floor 0.403)."""
     from jsonschema_infer_spark.operators.dedup import minhash_lsh_pairs
 
     df = _load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(df, threshold=0.5, num_perm=32, bands=8)
+    return minhash_lsh_pairs(df, threshold=0.5, num_perm=64, bands=16)
 
 
 def _sql_minhash_dups_docs(
-    num_perm: int = 32, bands: int = 8, threshold: float = 0.5
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5
 ) -> str:
     """Mirror of minhash_lsh_pairs(hash_fn='xxhash64'): per-permutation
     minima from the independently-computed signature parquet, band keys =
@@ -1933,12 +1945,17 @@ def q_minhash_dups_md5(spark, sf_dir):
     """MinHash+LSH in md5 mode: the permutation hash and the band bucket
     are both engine-portable, so banding AND exact verification are fully
     mirrored by the DuckDB oracle (the xxhash64 fast path stays rows-only
-    in minhash_dups_docs)."""
+    in minhash_dups_docs). num_perm is kept at 16 so the oracle's
+    per-permutation replay stays cheap; the resulting moderate recall at
+    the 0.5 threshold is an accepted, oracle-mirrored trade
+    (`on_low_recall='ignore'` — the production-shaped banding with a
+    passing recall floor is minhash_dups_docs)."""
     from jsonschema_infer_spark.operators.dedup import minhash_lsh_pairs
 
     df = _load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        df, threshold=0.5, num_perm=16, bands=4, hash_fn="md5"
+        df, threshold=0.5, num_perm=16, bands=4, hash_fn="md5",
+        on_low_recall="ignore",
     )
 
 

@@ -19,15 +19,71 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.stats import chi2_homogeneity, ks_two_sample_p
 
 
-def categorical_drift(df_a: DataFrame, df_b: DataFrame, column: str) -> dict:
+OTHER_BUCKET = "__other__"
+
+
+def _paired_category_counts(
+    df_a: DataFrame, df_b: DataFrame, column: str
+) -> DataFrame:
+    """(cat, n_a, n_b) counts of a categorical column over two snapshots:
+    one union scan, one map-side-combined groupBy shuffling only
+    (category, counts) pairs — no row-proportional shuffle at any size.
+    Categories are cast to string (the ``__other__`` fold and the
+    streaming twin's reference profiles are string-keyed)."""
+    a = df_a.select(F.col(column).cast("string").alias("cat")).where(
+        F.col("cat").isNotNull()
+    )
+    b = df_b.select(F.col(column).cast("string").alias("cat")).where(
+        F.col("cat").isNotNull()
+    )
+    u = a.withColumn("side", F.lit(1)).unionByName(b.withColumn("side", F.lit(0)))
+    return u.groupBy("cat").agg(
+        F.sum("side").alias("n_a"),
+        F.sum(F.lit(1) - F.col("side")).alias("n_b"),
+    )
+
+
+def _cap_paired_counts(g: DataFrame, k: int) -> DataFrame:
+    """Bound a (cat, n_a, n_b) count table to the top-``k`` categories by
+    combined count (category asc on ties — deterministic), folding the
+    rest into one ``__other__`` row. Batch twin of
+    streaming/drift._cap_category_counts: an id-like column passed as
+    "categorical" then costs a ``k+1``-row driver collect instead of an
+    O(categories) OOM. Top-k is TakeOrderedAndProject (distributed partial
+    top-k, no global sort); the remainder fold is a broadcast anti-join +
+    one scalar agg. Totals are preserved exactly, so tests computed on the
+    capped domain match a hand-fold of the full domain."""
+    top = g.orderBy(F.desc(F.col("n_a") + F.col("n_b")), F.col("cat").asc()).limit(k)
+    rest = (
+        g.join(F.broadcast(top.select("cat")), "cat", "left_anti")
+        .agg(
+            F.coalesce(F.sum("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.sum("n_b"), F.lit(0)).alias("n_b"),
+        )
+        .select(F.lit(OTHER_BUCKET).alias("cat"), "n_a", "n_b")
+        .where((F.col("n_a") + F.col("n_b")) > 0)
+    )
+    return top.unionByName(rest)
+
+
+def categorical_drift(
+    df_a: DataFrame, df_b: DataFrame, column: str, max_categories: int = 1000
+) -> dict:
     """Chi-square homogeneity test on a categorical column's distribution.
 
-    Each groupBy shuffles only (category, count) pairs — map-side combined,
-    so cost is a scan regardless of table size."""
-    ca = {r[0]: r[1] for r in df_a.groupBy(column).count().collect()}
-    cb = {r[0]: r[1] for r in df_b.groupBy(column).count().collect()}
-    ca.pop(None, None)
-    cb.pop(None, None)
+    The groupBy shuffles only (category, count) pairs — map-side combined,
+    so cost is a scan regardless of table size. The driver collect is
+    bounded by ``max_categories``: beyond it, the tail folds DISTRIBUTED
+    into one ``__other__`` category on BOTH sides (same top-K+other cap
+    the streaming monitors use — both sides must share one partition of
+    the category space for the homogeneity test to mean anything). Pass
+    ``max_categories=None`` to collect the full domain."""
+    g = _paired_category_counts(df_a, df_b, column)
+    if max_categories is not None:
+        g = _cap_paired_counts(g, max_categories)
+    rows = g.collect()
+    ca = {r.cat: int(r.n_a) for r in rows if r.n_a > 0}
+    cb = {r.cat: int(r.n_b) for r in rows if r.n_b > 0}
     out = chi2_homogeneity(ca, cb)
     out["column"] = column
     return out
@@ -146,7 +202,11 @@ def numeric_drift(
 
 
 def psi_categorical(
-    df_a: DataFrame, df_b: DataFrame, column: str, eps: float = 1e-6
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    eps: float = 1e-6,
+    max_categories: int = 1000,
 ) -> DataFrame:
     """Population Stability Index per category: ``(pa - pb) * ln(pa / pb)``
     with proportions clamped to ``eps`` so one-sided categories contribute
@@ -159,14 +219,17 @@ def psi_categorical(
     chi-square it needs no p-value machinery, which is why ops teams run
     it per-snapshot as a monitor; both live here so the report can carry
     both. Returns (category, n_a, n_b, psi_term) rows, terms rounded to 6
-    decimals for deterministic comparison."""
-    a = df_a.select(F.col(column).alias("cat")).where(F.col("cat").isNotNull())
-    b = df_b.select(F.col(column).alias("cat")).where(F.col("cat").isNotNull())
-    u = a.withColumn("side", F.lit(1)).unionByName(b.withColumn("side", F.lit(0)))
-    g = u.groupBy("cat").agg(
-        F.sum("side").alias("n_a"),
-        F.sum(F.lit(1) - F.col("side")).alias("n_b"),
-    )
+    decimals for deterministic comparison.
+
+    Output cardinality is bounded by ``max_categories`` (top-K by combined
+    count, tail folded distributed into ``__other__`` — the same cap the
+    streaming monitors apply), so a caller's ``.collect()`` on the result
+    can't OOM the driver when handed an id-like column. Totals (and hence
+    the summed PSI's category partition) are fold-exact. ``None`` skips
+    the cap."""
+    g = _paired_category_counts(df_a, df_b, column)
+    if max_categories is not None:
+        g = _cap_paired_counts(g, max_categories)
     tot = g.agg(
         F.sum("n_a").cast("double").alias("ta"),
         F.sum("n_b").cast("double").alias("tb"),

@@ -426,6 +426,7 @@ def ivf_topk(
     sample_rows: int = 4096,
     impl: str = "pandas",
     centroid_ids: list | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k, recompute form: coarse centroids from a
     seeded sample (driver numpy k-means-lite), rows assigned to nearest
@@ -449,9 +450,18 @@ def ivf_topk(
     engine-portable, so an external SQL engine can replay the whole
     approximate cell-assign/probe/score pipeline (the driver's
     embeddings_ivf_topk oracle does exactly that); centroid quality is a
-    recall concern, not a correctness one."""
-    cents = _coarse_centroids(
-        df, vec_col, id_col, n_cells, seed, sample_rows, centroid_ids
+    recall concern, not a correctness one — quantify it with
+    ``ivf_measured_recall`` before fixing ``n_probe`` for an index.
+
+    ``centroids`` (a prebuilt ``(cells, dim)`` array) skips centroid
+    construction entirely — pass ivf_write's persisted ``_ivf_centroids``
+    or share one build across many queries (ivf_measured_recall does)."""
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _coarse_centroids(
+            df, vec_col, id_col, n_cells, seed, sample_rows, centroid_ids
+        )
     )
 
     q = np.asarray(query_vec, dtype=np.float64)
@@ -511,6 +521,67 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_measured_recall(
+    df: DataFrame,
+    query_vecs: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_rows: int = 4096,
+    centroid_ids: list | None = None,
+) -> dict:
+    """Measured recall@k of IVF at ``n_probe`` probes vs the exact top-k —
+    the IVF counterpart of the sign-LSH families' ``expected_recall``
+    contract. Unlike sign-LSH, IVF has NO distribution-free closed form:
+    a pair's survival depends on whether the query's true neighbours live
+    in its ``n_probe`` nearest cells, which is a property of how the data
+    clusters. So the contract is empirical: recall@k = |IVF∩exact| / k,
+    averaged over a representative query sample. The trade it quantifies
+    is scan cost — a probe reads ~``n_probe / n_cells`` of the index
+    (ivf_probe prunes the rest at the partition level) — against the
+    fraction of true neighbours outside the probed cells.
+
+    Centroids are built ONCE (same seeded k-means-lite / centroid_ids path
+    as ivf_topk) and shared across both sides of every query, so the
+    comparison isolates n_probe; the exact side is ``n_probe = n_cells``
+    (full probe == brute force, the equality ivf_topk's docstring pins).
+    Cost: 2 x len(query_vecs) Spark jobs — a diagnostic to run on a sample
+    before fixing ``n_probe`` for a production index, not a hot-path op."""
+    cents = _coarse_centroids(
+        df, vec_col, id_col, n_cells, seed, sample_rows, centroid_ids
+    )
+    per_query = []
+    for qv in query_vecs:
+        exact = {
+            r[0]
+            for r in ivf_topk(
+                df, qv, k=k, vec_col=vec_col, id_col=id_col,
+                n_probe=len(cents), centroids=cents,
+            ).collect()
+        }
+        got = {
+            r[0]
+            for r in ivf_topk(
+                df, qv, k=k, vec_col=vec_col, id_col=id_col,
+                n_probe=n_probe, centroids=cents,
+            ).collect()
+        }
+        per_query.append(len(exact & got) / float(max(len(exact), 1)))
+    return {
+        "k": k,
+        "n_cells": int(len(cents)),
+        "n_probe": n_probe,
+        "scan_fraction": n_probe / float(len(cents)),
+        "n_queries": len(per_query),
+        "recall_per_query": per_query,
+        "mean_recall": sum(per_query) / max(len(per_query), 1),
+        "min_recall": min(per_query) if per_query else 0.0,
+    }
 
 
 def ivf_write(

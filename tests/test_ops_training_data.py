@@ -794,3 +794,28 @@ def test_expected_recall_matches_measured_sf001_pairs():
     )
     mean, sd = r.sum(), float(np.sqrt((r * (1 - r)).sum()))
     assert abs(measured - mean) <= 3 * sd + 2, (measured, mean, sd)
+
+
+def test_ivf_measured_recall_contract_sf001(spark):
+    """VERDICT r4 item 8: IVF gets a recall contract like the LSH families.
+    IVF has no closed-form floor, so the contract is MEASURED: recall@10 of
+    n_probe=4 (of 16 cells — a 25% scan) vs exact on the real sf0.01
+    embeddings fixture with the default seeded centroids. Pins the
+    n_probe/n_cells trade the docstring documents: ~0.58 mean recall for a
+    4x scan saving on this fixture, monotone in n_probe, and exactly 1.0
+    at full probe (ivf_topk's brute-force equality)."""
+    from jsonschema_infer_spark.operators import similarity as SIM
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in df.orderBy("vec_id").limit(3).collect()
+    ]
+    out = SIM.ivf_measured_recall(df, qs, k=10, n_cells=16, n_probe=4, seed=42)
+    assert out["n_cells"] == 16 and out["scan_fraction"] == 0.25
+    assert out["min_recall"] >= 0.4, out
+    assert 0.5 <= out["mean_recall"] < 1.0, out  # genuinely approximate
+    more = SIM.ivf_measured_recall(df, qs, k=10, n_cells=16, n_probe=8, seed=42)
+    assert more["mean_recall"] >= out["mean_recall"], (more, out)
+    full = SIM.ivf_measured_recall(df, qs, k=10, n_cells=16, n_probe=16, seed=42)
+    assert full["mean_recall"] == 1.0 and full["min_recall"] == 1.0

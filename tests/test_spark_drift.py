@@ -153,3 +153,89 @@ def test_psi_numeric_pinned_lo_clamps_low_values(spark):
     # -50 collapsed into bucket 0 alongside 0.5; 99 into bucket 3
     assert buckets[0][0] == 2
     assert buckets[3][0] == 1
+
+
+def test_batch_drift_cap_bounds_collect_and_is_fold_exact(spark):
+    """VERDICT r4 item 4: an id-like column passed as "categorical" must
+    cost a <= max_categories+1-row driver collect, and the chi2/PSI on the
+    capped domain must equal a hand-fold of the full domain."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_infer_spark.functions.stats import chi2_homogeneity
+    from jsonschema_infer_spark.operators.drift import (
+        OTHER_BUCKET,
+        _cap_paired_counts,
+        _paired_category_counts,
+        psi_categorical,
+    )
+
+    # 10_000 distinct ids per side; ids 0..49 are 10x heavier so the top-K
+    # is deterministic; side b reweights them to create real drift
+    a = (
+        spark.range(0, 10_000)
+        .withColumn("w", F.when(F.col("id") < 50, 10).otherwise(1))
+        .select(F.explode(F.array_repeat(F.col("id").cast("string"), F.col("w").cast("int"))).alias("cat"))
+    )
+    b = (
+        spark.range(0, 10_000)
+        .withColumn("w", F.when(F.col("id") < 50, 20).otherwise(1))
+        .select(F.explode(F.array_repeat(F.col("id").cast("string"), F.col("w").cast("int"))).alias("cat"))
+    )
+    k = 100
+    capped = _cap_paired_counts(_paired_category_counts(a, b, "cat"), k)
+    rows = capped.collect()
+    assert len(rows) <= k + 1  # the bounded driver collect
+    assert any(r.cat == OTHER_BUCKET for r in rows)
+    # totals preserved exactly by the fold
+    assert sum(r.n_a for r in rows) == 50 * 10 + 9_950
+    assert sum(r.n_b for r in rows) == 50 * 20 + 9_950
+
+    # chi2 on the capped domain == chi2 on a hand-fold of the full domain
+    full = _paired_category_counts(a, b, "cat").collect()
+    kept = {r.cat for r in rows if r.cat != OTHER_BUCKET}
+    ca = {r.cat: int(r.n_a) for r in full if r.cat in kept}
+    cb = {r.cat: int(r.n_b) for r in full if r.cat in kept}
+    ca[OTHER_BUCKET] = sum(int(r.n_a) for r in full if r.cat not in kept)
+    cb[OTHER_BUCKET] = sum(int(r.n_b) for r in full if r.cat not in kept)
+    hand = chi2_homogeneity(ca, cb)
+    capped_ca = {r.cat: int(r.n_a) for r in rows if r.n_a > 0}
+    capped_cb = {r.cat: int(r.n_b) for r in rows if r.n_b > 0}
+    spark_side = chi2_homogeneity(capped_ca, capped_cb)
+    assert spark_side["statistic"] == pytest.approx(hand["statistic"], rel=1e-9)
+    assert spark_side["dof"] == hand["dof"]
+
+    # PSI path: bounded output + fold-exact total on the same partition
+    psi_rows = psi_categorical(a, b, "cat", max_categories=k).collect()
+    assert len(psi_rows) <= k + 1
+    import math
+
+    ta = sum(v for v in ca.values())
+    tb = sum(v for v in cb.values())
+    eps = 1e-6
+    exp_total = 0.0
+    for c in set(ca) | set(cb):
+        pa_ = max(ca.get(c, 0) / ta, eps)
+        pb_ = max(cb.get(c, 0) / tb, eps)
+        exp_total += (pa_ - pb_) * math.log(pa_ / pb_)
+    got_total = sum(r.psi_term for r in psi_rows)
+    assert got_total == pytest.approx(exp_total, abs=1e-4)
+
+
+def test_batch_drift_cap_noop_below_k(spark):
+    """Low-cardinality columns are untouched by the default cap — no
+    __other__ row, identical stats to max_categories=None."""
+    from jsonschema_infer_spark.operators.drift import OTHER_BUCKET, psi_categorical
+
+    a = spark.createDataFrame([("x",)] * 80 + [("y",)] * 20, "cat string")
+    b = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "cat string")
+    capped = psi_categorical(a, b, "cat").collect()
+    uncapped = psi_categorical(a, b, "cat", max_categories=None).collect()
+    assert {r.cat for r in capped} == {"x", "y"}
+    assert OTHER_BUCKET not in {r.cat for r in capped}
+    assert {(r.cat, r.n_a, r.n_b, r.psi_term) for r in capped} == {
+        (r.cat, r.n_a, r.n_b, r.psi_term) for r in uncapped
+    }
+    r_cap = categorical_drift(a, b, "cat")
+    r_full = categorical_drift(a, b, "cat", max_categories=None)
+    assert r_cap["statistic"] == pytest.approx(r_full["statistic"])
+    assert r_cap["dof"] == r_full["dof"]
