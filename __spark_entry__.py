@@ -13,9 +13,10 @@ oracle_sql()  — DuckDB-runnable ANSI SQL twins with identical column names
                 Gaussian LSH, verdict bucketing) are oracled via small
                 signature/mapping parquets materialized by INDEPENDENT
                 non-Spark implementations (pure-Python XXH64, numpy) that
-                the SQL replays banding/bucketing/verification from. Only
-                the two inference folds themselves are omitted -> the
-                driver records the weaker rows-only check for those.
+                the SQL replays banding/bucketing/verification from. Both
+                inference folds are oracled too: the flat fold from per-
+                column data conditions, the nested fold via a recursive
+                CTE over the raw JSON payloads — every entry has a twin.
 """
 
 from __future__ import annotations
@@ -1672,7 +1673,7 @@ SQL_EMBEDDINGS_LABEL_PROFILE = (
 )
 
 
-# --- rows-only entries (no SQL equivalent; driver records weaker check) --------
+# --- inference folds in row-form (both fully DuckDB-oracled since r5) ---------
 
 
 def q_infer_events_schema(spark, sf_dir):
@@ -1684,8 +1685,8 @@ def q_infer_events_schema(spark, sf_dir):
     round-trip demotion on observed doubles (node.go:296-301), format =
     regex survivorship over all strings in reference registry order
     (node.go:110-121, jsonschema.go:44-53). The nested props fold
-    (q_infer_props_json_schema) stays rows-only — the recursive type
-    lattice has no SQL equivalent."""
+    (q_infer_props_json_schema) gets the same treatment in row-form via a
+    recursive-CTE walk of the raw payloads."""
     from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
 
     df = _load(spark, sf_dir, "events")
@@ -1840,20 +1841,151 @@ ORDER BY property
 def q_infer_props_json_schema(spark, sf_dir):
     """Nested-JSON inference (fold_batches_json): infer the schema of the
     events.props payload column — arbitrary nesting, exact ObserveValue
-    semantics (rows-only: no DuckDB equivalent of the type-lattice fold)."""
+    semantics — and return it EXPLODED to (path, type, required, format)
+    rows (plans/diff.schema_path_rows), one per schema node. That row-form
+    makes the nested fold DuckDB-oracle-able: a recursive CTE walks every
+    raw props payload and re-derives the same rules from data conditions
+    (required = count equality node.go:215, int64 round-trip demotion
+    node.go:296-301, format regex survivorship node.go:110-121, the
+    primary-type properties/items pruning node.go:201-207 and the
+    "type":"" null-only quirk). The byte render of the same fold is
+    pinned separately by entry()'s golden corpus."""
     from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+    from jsonschema_infer_spark.plans.diff import schema_path_rows
 
     df = _load(spark, sf_dir, "events")
     res = infer_dataframe(df, mode="json", json_column="props", num_partitions=8)
-    props = res.schema.get("properties", {})
-    required = set(res.schema.get("required", []))
-    rows = [
-        (name, str(p.get("type")), name in required, p.get("format", ""))
-        for name, p in sorted(props.items())
-    ]
+    rows = schema_path_rows(res.schema)
     return spark.createDataFrame(
-        rows, "property string, type string, required boolean, format string"
+        rows, "path string, type string, required boolean, format string"
     )
+
+
+def _sql_infer_props_json_schema(table: str = "events", column: str = "props") -> str:
+    """DuckDB twin of q_infer_props_json_schema: a recursive CTE walks the
+    raw JSON payloads (json_keys / json_extract / json_type) into one row
+    per (instance, path) observation, then re-derives every rendered cell
+    from the reference's rules:
+
+    - object children: key present => node exists; JSON-null value =>
+      present but NOT observed (count lags parent -> optional, type '' if
+      null-only) — node.go:140-147;
+    - array items: one shared items node per path ('[]' suffix), nulls
+      INSIDE arrays ARE observed; an empty array still creates the node;
+    - tag lattice: BIGINT/UBIGINT -> integer (Python json ints demote
+      unconditionally), DOUBLE -> integer iff the Go int64 round-trip
+      holds (node.go:296-301), else number;
+    - type render: primary (max count, lexicographically-smallest tie —
+      SURVEY.md §7.3) object/array OVERWRITES the union (node.go:201,207);
+      otherwise single tag verbatim, unions as the sorted non-null
+      python-list string; no observations -> '';
+    - rendering prunes children whose parent's primary type isn't
+      object/array — exactly to_schema's properties/items gating;
+    - required: child observation count == parent count (node.go:215);
+      items rows carry false;
+    - format: registry-order survivorship over string values, only when
+      the primary type is string.
+
+    Key names are assumed not to contain '.', '"' or '[]' (true of every
+    fixture; the engine-side corpus pins hostile-key behaviour)."""
+    fmt_aggs = ",\n".join(
+        f"    coalesce(bool_and({expr.format(c='s')}) "
+        f"FILTER (WHERE s IS NOT NULL), false) AS f_{name}"
+        for name, expr in _SQL_FMT.items()
+    )
+    fmt_case = (
+        "CASE WHEN st.n_str = 0 THEN '' "
+        + " ".join(
+            f"WHEN st.f_{n} THEN '{lit}'"
+            for n, lit in [
+                ("dt", "date-time"),
+                ("email", "email"),
+                ("uuid", "uuid"),
+                ("ipv6", "ipv6"),
+                ("ipv4", "ipv4"),
+                ("uri", "uri"),
+            ]
+        )
+        + " ELSE '' END"
+    )
+    return f"""
+WITH RECURSIVE walk AS (
+  SELECT '' AS path, NULL::VARCHAR AS parent, {column}::JSON AS v, true AS observed
+  FROM {table} WHERE {column} IS NOT NULL
+  UNION ALL
+  SELECT c.cpath, c.cparent, c.cv, c.cobs FROM walk w, LATERAL (
+    SELECT CASE WHEN w.path='' THEN kk.k ELSE w.path||'.'||kk.k END AS cpath,
+           w.path AS cparent,
+           json_extract(w.v, '$."'||kk.k||'"') AS cv,
+           coalesce(json_type(json_extract(w.v, '$."'||kk.k||'"')), 'NULL') <> 'NULL' AS cobs
+    FROM (SELECT unnest(json_keys(w.v)) AS k) kk
+    WHERE w.observed AND json_type(w.v)='OBJECT'
+    UNION ALL
+    SELECT w.path||'[]', w.path, unnest(w.v::JSON[]), true
+    WHERE w.observed AND json_type(w.v)='ARRAY'
+    UNION ALL
+    SELECT w.path||'[]', w.path, NULL::JSON, false
+    WHERE w.observed AND json_type(w.v)='ARRAY'
+  ) c
+), typed AS (
+  SELECT path, parent, observed,
+    CASE WHEN NOT observed THEN NULL
+         WHEN v IS NULL THEN 'null'
+         ELSE CASE json_type(v)
+            WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+            WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+            WHEN 'NULL' THEN 'null'
+            WHEN 'DOUBLE' THEN CASE
+               WHEN isfinite(v::DOUBLE) AND v::DOUBLE >= -9223372036854775808.0
+                    AND v::DOUBLE < 9223372036854775808.0
+                    AND v::DOUBLE = floor(v::DOUBLE) THEN 'integer'
+               ELSE 'number' END
+            ELSE 'integer' END
+    END AS tag,
+    CASE WHEN observed AND json_type(v)='VARCHAR' THEN v->>'$' END AS s
+  FROM walk
+), nstats AS (
+  SELECT path, any_value(parent) AS parent,
+    count(tag) AS n,
+    count(s) AS n_str,
+{fmt_aggs}
+  FROM typed GROUP BY path
+), tagcounts AS (
+  SELECT path, tag, count(*) AS c FROM typed WHERE tag IS NOT NULL GROUP BY path, tag
+), shapes AS (
+  SELECT path,
+    count(*) AS ntags,
+    (list(tag ORDER BY c DESC, tag ASC))[1] AS primary_tag,
+    list(tag ORDER BY tag) FILTER (WHERE tag <> 'null') AS nn_tags
+  FROM tagcounts GROUP BY path
+), rendered AS (
+  SELECT '' AS path
+  UNION ALL
+  SELECT st.path
+  FROM nstats st JOIN rendered r ON st.parent = r.path
+  JOIN shapes ps ON ps.path = st.parent
+  WHERE CASE WHEN st.path = st.parent || '[]'
+             THEN ps.primary_tag = 'array'
+             ELSE ps.primary_tag = 'object' END
+)
+SELECT st.path,
+  CASE
+    WHEN sh.path IS NULL THEN ''
+    WHEN sh.primary_tag = 'array' THEN 'array'
+    WHEN sh.primary_tag = 'object' THEN 'object'
+    WHEN sh.ntags = 1 THEN sh.primary_tag
+    WHEN len(sh.nn_tags) = 1 THEN sh.nn_tags[1]
+    ELSE '[' || list_aggregate(list_transform(sh.nn_tags, t -> '''' || t || ''''), 'string_agg', ', ') || ']'
+  END AS type,
+  (st.path NOT LIKE '%[]') AND st.n = pn.n AS required,
+  CASE WHEN sh.path IS NOT NULL AND sh.primary_tag = 'string' THEN {fmt_case} ELSE '' END AS format
+FROM nstats st
+JOIN rendered r ON r.path = st.path
+JOIN nstats pn ON pn.path = st.parent
+LEFT JOIN shapes sh ON sh.path = st.path
+WHERE st.path <> ''
+ORDER BY st.path
+"""
 
 
 def q_minhash_dups_docs(spark, sf_dir):
@@ -2381,53 +2513,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_profile": q_events_type_profile,
         "events_props_json": q_events_props_json,
         "events_user_sessions": q_events_user_sessions,
-        # drift family
+        # drift family (events_type_psi rotated in for r5; ks_hist demoted)
         "events_type_drift": q_events_type_drift,
+        "events_type_psi": q_events_type_psi,
         "events_value_psi": q_events_value_psi,
         "events_violation_examples": q_events_violation_examples,
         "events_value_ks": q_events_value_ks,
-        "events_value_ks_hist": q_events_value_ks_hist,
-        # relational coverage
+        # relational coverage (r5 rotation: top_customers, orders_rollup,
+        # small_quantity_revenue — the TPC-H Q17 correlated-subquery shape,
+        # the one family with no prior driver row — customers_per_nation
+        # and events_hourly promoted; region_revenue and orders_cube
+        # demoted after two green rounds each)
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_revenue_topk": q_q3_revenue_topk,
-        "region_revenue": q_region_revenue,
-        "orders_cube": q_orders_cube,
+        "top_customers": q_top_customers,
+        "orders_rollup": q_orders_rollup,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "customers_per_nation": q_customers_per_nation,
         "lineitem_quantiles": q_lineitem_quantiles,
         "events_value_hist": q_events_value_hist,
+        "events_hourly": q_events_hourly,
         "best_order_per_customer": q_best_order_per_customer,
         "segment_intersect": q_segment_intersect,
         "unreferenced_parts": q_unreferenced_parts,
-        # training-data ops
+        # training-data ops (embeddings_label_profile rotated in)
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_split_profile": q_docs_split_profile,
         "events_type_cap": q_events_type_cap,
-        "docs_langid": q_docs_langid,
         "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_pii_scan": q_docs_pii_scan,
         "docs_top_jaccard": q_docs_top_jaccard,
         "docs_jaccard_capped": q_docs_jaccard_capped,
         "docs_dup_clusters": q_docs_dup_clusters,
-        "media_frame_plan": q_media_frame_plan,
         "embeddings_topk": q_embeddings_topk,
         "embeddings_cos_pairs": q_embeddings_cos_pairs,
-        "embeddings_ivf_exact": q_embeddings_ivf_exact,
+        "embeddings_label_profile": q_embeddings_label_profile,
         # oracled md5-mode / cross-table / media
         "events_orphan_users": q_events_orphan_users,
         "embeddings_lsh_md5": q_embeddings_lsh_md5,
         "minhash_dups_md5": q_minhash_dups_md5,
         "simhash_near_md5": q_simhash_near_md5,
         "media_features": q_media_features,
-        # ---- entry 51+: outside the driver window (oracled in-repo) ----
-        "events_hourly": q_events_hourly,
-        "events_type_psi": q_events_type_psi,
-        "top_customers": q_top_customers,
-        "orders_rollup": q_orders_rollup,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "customers_per_nation": q_customers_per_nation,
-        "embeddings_label_profile": q_embeddings_label_profile,
+        # ---- entry 51+: outside the driver's 50-row window (all were
+        # driver-green in r04 — see CORRECTNESS_r04.json — and every one
+        # is still oracled in-repo at sf0.001 on each pytest run; the
+        # window rotates per round so cumulative driver coverage spans
+        # all 57 entries across r04+r05) ----
+        "region_revenue": q_region_revenue,
+        "orders_cube": q_orders_cube,
+        "events_value_ks_hist": q_events_value_ks_hist,
+        "docs_langid": q_docs_langid,
+        "docs_pii_scan": q_docs_pii_scan,
+        "embeddings_ivf_exact": q_embeddings_ivf_exact,
+        "media_frame_plan": q_media_frame_plan,
     }
 
 
@@ -2491,4 +2631,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_verdicts": _sql_transcript_verdicts(),
         "events_schema_drift": SQL_EVENTS_SCHEMA_DRIFT,
         "infer_events_schema": _sql_infer_events_schema(),
+        # the nested fold, row-form: recursive CTE re-derivation (r5 —
+        # closes the last no_oracle driver row)
+        "infer_props_json_schema": _sql_infer_props_json_schema(),
     }

@@ -153,3 +153,41 @@ def schema_diff_df(spark, a: dict | None, b: dict | None):
         (r["path"], r["change"], r["before"], r["after"]) for r in schema_diff(a, b)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def schema_path_rows(schema: dict | None) -> list[tuple]:
+    """Explode an inferred JSON Schema into (path, type, required, format)
+    rows — the row-form of the nested fold, comparable against an external
+    derivation of the same rules from the raw data (required = the
+    count-equality rule node.go:215, types = the observe lattice incl. the
+    int64 round-trip demotion node.go:296-301, format = regex survivorship
+    node.go:110-121). Paths use the same convention as ``schema_diff``:
+    dots for object properties, ``[]`` suffix for array items (items carry
+    ``required=False`` — the items node itself has no required flag).
+    ``type`` is stringified verbatim (``str(['integer', 'number'])`` for
+    unions; ``''`` for the null-only-property quirk), matching what a
+    byte-render would emit. Driver-side: O(schema nodes), never O(rows)."""
+    rows: list[tuple] = []
+
+    def walk(prefix: str, node: dict) -> None:
+        req = set(node.get("required", []))
+        for name in sorted(node.get("properties", {})):
+            child = node["properties"][name]
+            path = f"{prefix}.{name}" if prefix else name
+            rows.append(
+                (path, str(child.get("type")), name in req,
+                 child.get("format", ""))
+            )
+            walk(path, child)
+        if "items" in node:
+            item = node["items"]
+            path = f"{prefix}[]"
+            rows.append(
+                (path, str(item.get("type")), False, item.get("format", ""))
+            )
+            walk(path, item)
+
+    if schema:
+        walk("", schema)
+    rows.sort(key=lambda r: r[0])
+    return rows

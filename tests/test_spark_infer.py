@@ -236,3 +236,57 @@ def test_checkpoint_resume(spark, tx_paths, tmp_path):
 
     with pytest.raises(ValueError):
         infer_with_checkpoint(df, ck, config=default_config(schema_version=DRAFT06))
+
+
+def test_nested_fold_row_form_matches_duckdb_recursive_oracle(spark):
+    """VERDICT r4 item 3: the nested fold's row-form (path, type, required,
+    format) against the recursive-CTE DuckDB re-derivation — on a corpus
+    far more hostile than the fixture's flat {"k": int} payloads: unions
+    with null-skip, objects through arrays, the "type":"" null-only quirk,
+    primary-type tie-break pruning (integer-vs-object tie renders the
+    union but NO children), empty-array items nodes, null-only array
+    items, huge ints (python int -> integer unconditionally; 1e19 double
+    -> number), multi-format strings in registry order, and a SQL-NULL
+    payload row (skipped by both sides)."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from jsonschema_infer_spark.operators.infer_spark import infer_dataframe
+    from jsonschema_infer_spark.plans.diff import schema_path_rows
+
+    docs = [
+        '{"tie": {"c": 1}, "aa": [[1, 2], ["x"]], "big": 9999999999999999999,'
+        ' "fmt2": "127.0.0.1", "e": []}',
+        '{"tie": 3, "aa": [[3.5]], "big": 1e19, "fmt2": "10.0.0.1", "e": []}',
+        '{"nul": [null, null]}',
+        '{"k": 5, "a": {"x": 1.5, "y": "2020-01-01T00:00:00Z"},'
+        ' "arr": [1, null, 2.5], "maybe": null}',
+        '{"k": 7.0, "a": {"x": 2}, "arr": [], "s": "hello"}',
+        '{"k": 9, "a": {"x": "mixed"}, "mix": {"z": 1}}',
+        '{"mix": "not an object", "u": "550e8400-e29b-41d4-a716-446655440000"}',
+        '{"u": "550e8400-e29b-41d4-a716-446655440001",'
+        ' "nested": {"deep": {"deeper": [{"w": true}, {"w": false, "q": null}]}}}',
+        None,
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    res = infer_dataframe(df, mode="json", json_column="props", num_partitions=4)
+    engine_rows = schema_path_rows(res.schema)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(props VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?)", [(d,) for d in docs])
+    oracle_rows = [tuple(r) for r in con.execute(
+        E._sql_infer_props_json_schema()
+    ).fetchall()]
+
+    assert engine_rows == oracle_rows
+    # the hostile corpus must actually exercise the hard branches
+    paths = dict((p, (t, req, f)) for p, t, req, f in engine_rows)
+    assert paths["tie"][0] == "['integer', 'object']"
+    assert "tie.c" not in paths  # primary tie-break pruned the children
+    assert paths["maybe"] == ("", False, "")  # null-only property quirk
+    assert paths["e[]"][0] == ""  # empty-array items node exists, type ''
+    assert paths["nul[]"][0] == "null"  # array nulls ARE observed
+    assert paths["big"][0] == "['integer', 'number']"
+    assert paths["fmt2"] == ("string", False, "ipv4")
+    assert paths["nested.deep.deeper[].w"] == ("boolean", True, "")
