@@ -367,6 +367,25 @@ def main():
             # rounds stay in the table for transparency but never count.
             and not r.get("external_load")
         )
+    # A hand-edit applied to the evidence FILE while this batch was in
+    # flight (~12 min) must not be clobbered by our stale start-of-run
+    # copy (ADVICE r4): re-read the file now and merge any external_load
+    # flags by round identity — (tp1, tp4) is unique across 300+ rounds
+    # (float throughputs from independent 60-90 s timings).
+    try:
+        with open(evid_path) as f:
+            _on_disk = json.load(f)
+        _flagged = {
+            (r.get("tp1"), r.get("tp4"))
+            for r in _on_disk.get("rounds", [])
+            if r.get("external_load")
+        }
+        for r in rounds:
+            if (r["tp1"], r["tp4"]) in _flagged and not r.get("external_load"):
+                r["external_load"] = True
+                r["healthy_base"] = False
+    except (OSError, ValueError):
+        pass
     valid = [r["eff"] for r in rounds if r["healthy_base"]]
     valid.sort()
     paired = {
