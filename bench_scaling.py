@@ -584,9 +584,13 @@ def main():
             if t1m < 0.5:
                 # a near-zero stage's 1->4 ratio is quantization noise
                 # (e.g. compile after the one-scan fusion); report its
-                # (negligible) cost, not a meaningless efficiency
+                # (negligible) cost, not a meaningless efficiency — and
+                # say so explicitly for EVERY stage, so the attribution
+                # row always carries all three (VERDICT r4 item 6)
                 if t1m > 0.0:
                     stage_lines.append(f"{s} negligible (median t1 {round(t1m, 2)}s)")
+                else:
+                    stage_lines.append(f"{s} 0.0s (fused into the one-pass scan)")
                 continue
             if effs:
                 stage_lines.append(

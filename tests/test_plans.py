@@ -127,3 +127,20 @@ def test_ivf_probe_partition_pruning_driver_entry(spark):
     df = E.queries()["embeddings_ivf_probe"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in p and "cell" in p
+
+
+def test_top_jaccard_topk_and_bounded_join(spark):
+    """VERDICT r4 item 7: the exploratory top-10 must plan as
+    TakeOrderedAndProject (distributed partial top-k — never a global
+    sort of the 1M+ candidate pairs), and the stop-shingle cap must be a
+    broadcast anti-join (the drop list is tiny by construction).
+    Profiled at sf0.1 (r5): the shingle self-join dominates the query
+    (~1.9s of ~2.2s); the top-k adds ~0.3s — the r4 cost is the genuine
+    bounded join, not the sort."""
+    df = E.queries()["docs_top_jaccard"](spark, SF)
+    df.collect()  # AQE-finalize
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("SortMergeJoin", "")  # no global sort node
+    assert "BroadcastHashJoin" in p  # stop-shingle anti-join + size joins
+    assert "LeftAnti" in p
